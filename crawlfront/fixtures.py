@@ -1,0 +1,251 @@
+"""Deterministic crawl-fixture generator — FIXTURES.md §B.
+
+Synthesizes the Common-Crawl-style corpus the driver's input_hint fixes
+(pages: url, warc_ts, html:binary, text, lang — BASELINE.json:15) plus
+seeds / robots / politeness, at ``n_pages = 2_000_000 × sf``.  Pure
+pyarrow (no SparkSession needed), single RNG ``PCG64(42)``, timestamps
+derived from content hashes (never wall-clock), rows sorted by url —
+byte-reproducible per FIXTURES.md determinism rules.
+
+The ``text`` column is EXACTLY ``extract_page(html).text`` — the same
+pure function the engine's D3 UDF runs — so the byte-identical-text
+invariant (BASELINE.json:15) is checkable end-to-end.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+from pathlib import Path
+from urllib.parse import quote
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .extract import extract_page
+from .hashing import xxhash64
+
+EPOCH = _dt.datetime(2026, 1, 1, 0, 0, 0)  # naive UTC, matches parquet timestamp[us]
+_90D_S = 90 * 24 * 3600
+SERP_PAGES_PER_KW = 10
+RESULTS_PER_SERP = 10
+DANGLING_EVERY = 40  # every 40th SERP result targets a non-existent article
+DEFAULT_BUDGET = 8
+HOT_BUDGET = 2
+
+# Mixed-script vocabulary: multibyte UTF-8 tokens exercise Spark's
+# non-aligned murmur3 tail path (SURVEY.md §0.3).
+_VOCAB = (
+    "data spark crawl frontier queue politeness robots shard bloom filter "
+    "index page query result link host fetch batch snapshot lineage "
+    "搜索 引擎 网页 抓取 排序 队列 数据 分析 索引 结果"
+).split()
+
+
+def _words(rng: np.random.Generator, n: int) -> str:
+    return " ".join(_VOCAB[i] for i in rng.integers(0, len(_VOCAB), n))
+
+
+def _host(h: int) -> str:
+    tld = ("com", "org", "net", "cn")[h % 4]
+    return f"host{h:05d}.example.{tld}"
+
+
+def _warc_ts(url: str) -> _dt.datetime:
+    return EPOCH + _dt.timedelta(seconds=(xxhash64(url) & 0x7FFFFFFFFFFFFFFF) % _90D_S)
+
+
+def _zipf_hosts(rng: np.random.Generator, n_draws: int, n_hosts: int) -> np.ndarray:
+    ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
+    p = ranks**-1.2
+    p /= p.sum()
+    return rng.choice(n_hosts, size=n_draws, p=p)
+
+
+def _serp_url(host: str, k: int, p: int) -> str:
+    return f"https://{host}/serp?q=kw{k}&pn={p}"
+
+
+def _article_url(host: str, i: int) -> str:
+    return f"https://{host}/a/{i:08d}"
+
+
+def _serp_html(rng: np.random.Generator, host: str, k: int, p: int,
+               targets: list[str]) -> str:
+    blocks = []
+    for rank, tgt in enumerate(targets, 1):
+        title = f"title kw{k} r{rank} {_words(rng, 3)}"
+        abstract = f"abstract {_words(rng, 8)}"
+        redirect = f"https://{host}/link?url={quote(tgt, safe='')}"
+        blocks.append(
+            f'<div class="result"><h3 class="t"><a href="{redirect}">{title}</a></h3>'
+            f'<div class="c-abstract">{abstract}</div></div>'
+        )
+    nav = ""
+    if p + 1 < SERP_PAGES_PER_KW:
+        nav = f'<a class="next" href="{_serp_url(host, k, p + 1)}">next page</a>'
+    return (
+        f"<html><head><title>kw{k} - page {p}</title>"
+        '<style>.t{font-weight:bold}</style></head><body>'
+        f'{"".join(blocks)}{nav}</body></html>'
+    )
+
+
+def _article_html(rng: np.random.Generator, i: int, outlinks: list[str]) -> str:
+    paras = "".join(f"<p>{_words(rng, 24)}</p>" for _ in range(int(rng.integers(2, 5))))
+    anchors = "".join(f'<a href="{u}">{_words(rng, 2)}</a>' for u in outlinks)
+    return (
+        f"<html><head><title>article {i:08d} {_words(rng, 2)}</title>"
+        f"<script>var x={i};</script></head><body>{paras}{anchors}</body></html>"
+    )
+
+
+def fixture_sizes(sf: float) -> dict:
+    n_pages = int(2_000_000 * sf)
+    n_hosts = max(20, n_pages // 100)
+    n_keywords = max(5, n_pages // 400)
+    n_serps = n_keywords * SERP_PAGES_PER_KW
+    n_articles = n_pages - n_serps
+    return {
+        "sf": sf,
+        "n_pages": n_pages,
+        "n_hosts": n_hosts,
+        "n_keywords": n_keywords,
+        "n_serps": n_serps,
+        "n_articles": n_articles,
+    }
+
+
+def generate_fixtures(sf: float, out_dir: str | Path, force: bool = False) -> Path:
+    """Write pages/seeds/robots/politeness parquet into ``out_dir``.
+
+    Idempotent: skipped when ``meta.json`` already records this sf.
+    """
+    out = Path(out_dir)
+    meta_p = out / "meta.json"
+    sizes = fixture_sizes(sf)
+    if not force and meta_p.exists():
+        if json.loads(meta_p.read_text()).get("sf") == sf:
+            return out
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(np.random.PCG64(42))
+    nh, nk, na = sizes["n_hosts"], sizes["n_keywords"], sizes["n_articles"]
+
+    # --- one fixed draw order (FIXTURES.md determinism rule 1) ---
+    kw_hosts = _zipf_hosts(rng, nk, nh)  # keyword k's SERPs live on this host
+    art_hosts = _zipf_hosts(rng, na, nh)
+    article_urls = [_article_url(_host(int(art_hosts[i])), i) for i in range(na)]
+
+    urls: list[str] = []
+    htmls: list[bytes] = []
+    hosts_of: list[int] = []
+
+    # SERPs: keyword-major, page-minor — the reference's nested loop shape.
+    for k in range(nk):
+        h = int(kw_hosts[k])
+        host = _host(h)
+        for p in range(SERP_PAGES_PER_KW):
+            tgt_idx = rng.integers(0, na, RESULTS_PER_SERP)
+            targets = []
+            for j, ti in enumerate(tgt_idx):
+                serial = (k * SERP_PAGES_PER_KW + p) * RESULTS_PER_SERP + j
+                if serial % DANGLING_EVERY == DANGLING_EVERY - 1:
+                    targets.append(_article_url(_host(h), na + serial))  # dangling
+                else:
+                    targets.append(article_urls[int(ti)])
+            urls.append(_serp_url(host, k, p))
+            htmls.append(_serp_html(rng, host, k, p, targets).encode("utf-8"))
+            hosts_of.append(h)
+
+    for i in range(na):
+        n_out = int(rng.integers(1, 4))
+        out_idx = rng.integers(0, na, n_out)
+        outlinks = [article_urls[int(j)] for j in out_idx]
+        urls.append(article_urls[i])
+        htmls.append(_article_html(rng, i, outlinks).encode("utf-8"))
+        hosts_of.append(int(art_hosts[i]))
+
+    texts = [extract_page(h).text for h in htmls]
+    langs = ["zh" if h % 5 == 0 else "en" for h in hosts_of]
+    tss = [_warc_ts(u) for u in urls]
+
+    order = sorted(range(len(urls)), key=lambda i: urls[i])
+    pages = pa.table(
+        {
+            "url": pa.array([urls[i] for i in order], pa.string()),
+            "warc_ts": pa.array([tss[i] for i in order], pa.timestamp("us")),
+            "html": pa.array([htmls[i] for i in order], pa.binary()),
+            "text": pa.array([texts[i] for i in order], pa.string()),
+            "lang": pa.array([langs[i] for i in order], pa.string()),
+        }
+    )
+    pq.write_table(pages, out / "pages.parquet", row_group_size=1 << 20)
+
+    seeds = pa.table(
+        {
+            "url": pa.array(
+                [_serp_url(_host(int(kw_hosts[k])), k, 0) for k in range(nk)], pa.string()
+            ),
+            "seed_rank": pa.array(range(nk), pa.int32()),
+            "priority": pa.array([0] * nk, pa.int32()),
+        }
+    )
+    pq.write_table(seeds, out / "seeds.parquet", row_group_size=1 << 20)
+
+    rule_t = pa.list_(
+        pa.struct([pa.field("prefix", pa.string(), False), pa.field("allow", pa.bool_(), False)])
+    )
+    r_hosts, r_rules, r_delay, r_ts = [], [], [], []
+    for h in range(nh):
+        r_hosts.append(_host(h))
+        if h % 7 == 0:
+            rules = [{"prefix": "/serp", "allow": False}, {"prefix": "/", "allow": True}]
+        elif h % 11 == 0:
+            rules = [{"prefix": "/a/", "allow": False}, {"prefix": "/", "allow": True}]
+        else:
+            rules = [{"prefix": "/", "allow": True}]
+        r_rules.append(rules)
+        r_delay.append(100 + (h % 5) * 200)
+        r_ts.append(EPOCH)
+    robots = pa.table(
+        {
+            "host": pa.array(r_hosts, pa.string()),
+            "rules": pa.array(r_rules, rule_t),
+            "crawl_delay_ms": pa.array(r_delay, pa.int64()),
+            "fetched_ts": pa.array(r_ts, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(robots, out / "robots.parquet", row_group_size=1 << 20)
+
+    host_counts = np.bincount(hosts_of, minlength=nh)
+    n_hot = max(1, nh // 20)
+    hot = np.argsort(-host_counts, kind="stable")[:n_hot]
+    politeness = pa.table(
+        {
+            "host": pa.array(sorted(_host(int(h)) for h in hot), pa.string()),
+            "budget": pa.array([HOT_BUDGET] * n_hot, pa.int32()),
+        }
+    )
+    pq.write_table(politeness, out / "politeness.parquet", row_group_size=1 << 20)
+
+    meta_p.write_text(json.dumps(sizes, indent=1))
+    return out
+
+
+# Repo-stable fixture roots: queries()/oracle_sql() (driver contract) need a
+# path that is identical between the Spark side and the DuckDB SQL string.
+FIXTURE_ROOT = Path(__file__).resolve().parent.parent / "fixtures"
+
+
+def fixture_dir_for_sf(sf: float, generate: bool = True) -> Path:
+    d = FIXTURE_ROOT / f"sf{sf:g}"
+    if generate:
+        generate_fixtures(sf, d)
+    return d
+
+
+def sf_of_dir(sf_dir: str) -> float:
+    """Parse the driver's sf dir name (…/sf0.01) into the scale factor."""
+    name = Path(sf_dir).name
+    return float(name[2:]) if name.startswith("sf") else 0.01

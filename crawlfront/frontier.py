@@ -1,0 +1,486 @@
+"""The URL-frontier engine — SURVEY.md §2 cat. 1/3/5/6/7/9, §3.2.
+
+One micro-batch (``CrawlEngine.run_batch``) is a single declarative
+DataFrame DAG (SURVEY.md §3.2) implementing, distributed, EXACTLY the
+batch semantics of the sequential oracle (oracle_sim.py — the normative
+spec; the reference crawler's nested keyword×page loop generalized per
+BASELINE.json:6,14):
+
+    scan frontier → robots gate (broadcast join + JVM longest-prefix
+    match) → politeness budget (broadcast join) → two-phase per-host
+    rank (skew-safe window) → drain top-K → global schedule_idx →
+    fetch (join pages) → extract (Arrow UDF) → discover links →
+    canonicalize+hash → bloom prefilter → exact anti-join dedup →
+    enqueue → atomic snapshot commit (frontier, seen_keys, bloom
+    shards, results, per-partition counters + lineage)
+
+Determinism at any parallelism: every window/sort key ends in the unique
+total tie-break ``url_norm``; no monotonically_increasing_id, no rand, no
+wall clock (discovered_ts is a pure function of batch_id).  The
+parallelism-invariance test (local[2] vs local[8] → identical tables,
+including schedule_idx) is what makes the N-vs-4N scaling bench claim
+meaningful (SURVEY.md §5.2.5).
+
+Skew (SURVEY.md §4): the per-host politeness window is the one operator
+AQE cannot fix (skew-join handling does not cover windows), so W1 runs in
+two phases: rank within (host, salt) — at most ~pending/n_salts rows per
+task even for a pathological host — keep local_rank ≤ budget (the global
+per-host top-budget is a subset of the union of per-salt top-budgets,
+since ranks only shrink when restricting to a subset), then exact rank
+over host on ≤ n_salts·budget rows per host.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import bloom
+from .oracle_sim import DEFAULT_BUDGET, DEFAULT_DRAIN_K, MAX_RETRIES, discovered_ts
+from .ops import (
+    hash32_of,
+    hash64_of,
+    host_of,
+    is_http,
+    partition_key,
+    path_of,
+    robots_allow,
+    udf_canonicalize,
+    udf_extract,
+)
+from .schemas import (
+    BLOCKED,
+    COUNTERS_SCHEMA,
+    FAILED,
+    FETCHED,
+    FRONTIER_SCHEMA,
+    PAGES_SCHEMA,
+    PENDING,
+    POLITENESS_SCHEMA,
+    RESULTS_SCHEMA,
+    ROBOTS_SCHEMA,
+    SEEDS_SCHEMA,
+    SEEN_KEYS_SCHEMA,
+    URL_SEEN_SHARDS_SCHEMA,
+)
+from .storage import Checkpoint
+
+FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+_HOST_ORDER = ["priority", "seed_rank", "depth", "url_norm"]
+_SCHED_ORDER = ["priority", "seed_rank", "host_rank", "host", "url_norm"]
+
+
+@dataclass
+class EngineConfig:
+    default_budget: int = DEFAULT_BUDGET
+    drain_k: int = DEFAULT_DRAIN_K
+    max_retries: int = MAX_RETRIES
+    n_partitions: int = 32  # logical frontier partitions (pmod(host_hash+salt, P))
+    n_salts: int = 8
+    n_shards: int = 64
+    shard_capacity: int = 50_000
+    bloom_fpp: float = 0.01
+
+
+# --- scans (S1-S4) ---------------------------------------------------------
+
+
+def scan_pages(spark: SparkSession, fixture_dir: str) -> DataFrame:
+    return spark.read.schema(PAGES_SCHEMA).parquet(str(Path(fixture_dir) / "pages.parquet"))
+
+
+def scan_seeds(spark: SparkSession, fixture_dir: str) -> DataFrame:
+    return spark.read.schema(SEEDS_SCHEMA).parquet(str(Path(fixture_dir) / "seeds.parquet"))
+
+
+def scan_robots(spark: SparkSession, fixture_dir: str) -> DataFrame:
+    return spark.read.schema(ROBOTS_SCHEMA).parquet(str(Path(fixture_dir) / "robots.parquet"))
+
+
+def scan_politeness(spark: SparkSession, fixture_dir: str) -> DataFrame:
+    return spark.read.schema(POLITENESS_SCHEMA).parquet(
+        str(Path(fixture_dir) / "politeness.parquet")
+    )
+
+
+# --- plan builders (shared by the checkpointed loop and the pure queries) --
+
+
+def frontier_from_seeds(seeds: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Batch-0 frontier: canonicalize, dedup by url_norm (min seed wins),
+    derive host/hashes/salt/partition columns.  Matches oracle init."""
+    s = seeds.withColumn("url_norm", udf_canonicalize("url"))
+    s = (
+        s.groupBy("url_norm")
+        .agg(F.min(F.struct("seed_rank", "priority", "url")).alias("m"))
+        .select("url_norm", "m.url", "m.seed_rank", "m.priority")
+    )
+    return _with_frontier_cols(
+        s, depth=F.lit(0), discovered_batch=0, state=PENDING, cfg=cfg
+    ).select(*FRONTIER_COLS)
+
+
+def _with_frontier_cols(df: DataFrame, depth, discovered_batch: int, state: str,
+                        cfg: EngineConfig) -> DataFrame:
+    return (
+        df.withColumn("url_hash32", hash32_of("url_norm"))
+        .withColumn("url_hash64", hash64_of("url_norm"))
+        .withColumn("host", host_of("url_norm"))
+        .withColumn("host_hash", hash32_of(F.col("host")))
+        .withColumn("salt", F.pmod(F.col("url_hash64"), F.lit(cfg.n_salts)).cast("int"))
+        .withColumn("depth", depth.cast("int"))
+        .withColumn("discovered_batch", F.lit(discovered_batch).cast("long"))
+        .withColumn(
+            "discovered_ts", F.lit(discovered_ts(discovered_batch)).cast("timestamp")
+        )
+        .withColumn("state", F.lit(state))
+        .withColumn("retry_count", F.lit(0).cast("int"))
+        .withColumn("priority", F.col("priority").cast("int"))
+        .withColumn("seed_rank", F.col("seed_rank").cast("int"))
+    )
+
+
+def gate_and_schedule(
+    pending: DataFrame,
+    robots: DataFrame,
+    politeness: DataFrame,
+    cfg: EngineConfig,
+    base_idx: int = 0,
+):
+    """J1/P5 → J2 → W1 (two-phase) / W2 → O1 → W3.
+
+    Returns (scheduled, blocked, allowed, eligible):
+      - scheduled: top drain_k eligible rows + ``schedule_idx``
+      - blocked: robots-denied pending rows (frontier cols only)
+      - allowed / eligible: intermediate sets, for counters
+    """
+    g = pending.join(
+        F.broadcast(robots.select("host", "rules")), "host", "left"
+    ).withColumn("allow", robots_allow(path_of("url_norm"), F.col("rules")))
+    blocked = g.filter(~F.col("allow")).select(
+        *[F.lit(BLOCKED).alias(c) if c == "state" else F.col(c) for c in FRONTIER_COLS]
+    )
+    allowed = g.filter(F.col("allow")).drop("rules", "allow")
+
+    p = allowed.join(F.broadcast(politeness), "host", "left").withColumn(
+        "budget", F.coalesce(F.col("budget"), F.lit(cfg.default_budget))
+    )
+    # W1 phase 1: skew-safe local rank within (host, salt)
+    w_local = Window.partitionBy("host", "salt").orderBy(*_HOST_ORDER)
+    local = p.withColumn("local_rank", F.row_number().over(w_local)).filter(
+        F.col("local_rank") <= F.col("budget")
+    )
+    # W1 phase 2: exact per-host rank over the pruned set (≤ n_salts·budget rows/host)
+    w_host = Window.partitionBy("host").orderBy(*_HOST_ORDER)
+    ranked = local.withColumn("host_rank", F.row_number().over(w_host))
+    eligible = ranked.filter(F.col("host_rank") <= F.col("budget"))
+
+    # O1: distributed top-K (TakeOrderedAndProject) on the total schedule key
+    scheduled = eligible.orderBy(*_SCHED_ORDER).limit(cfg.drain_k)
+    # W3: global schedule_idx — the window input is capped at drain_k rows
+    # by O1, so the single-partition window is bounded by design
+    # (SURVEY.md §2 W3; unbounded variant: ops in analytics.global_index).
+    w_global = Window.orderBy(*_SCHED_ORDER)
+    scheduled = scheduled.withColumn(
+        "schedule_idx", (F.row_number().over(w_global) - 1 + F.lit(base_idx)).cast("long")
+    )
+    return scheduled, blocked, allowed, eligible
+
+
+def fetch_and_extract(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
+    """J3 + D3: resolve scheduled URLs to page bytes, run the extraction
+    UDF.  Left join — a miss is a fetch failure (retry path).  ``html`` is
+    projected only here, never upstream (column-pruning design rule)."""
+    fetched = scheduled.join(pages.select("url", "html"), "url", "left")
+    return (
+        fetched.withColumn("hit", F.col("html").isNotNull())
+        .withColumn("ex", udf_extract("html", "url"))
+        .drop("html")
+    )
+
+
+def results_from_extract(ex: DataFrame, batch_id: int) -> DataFrame:
+    """Explode per-result records (W4 rank comes from the extractor's
+    in-page order, like the reference's SERP emission order)."""
+    hits = ex.filter(F.col("hit"))
+    return hits.select(
+        "url",
+        F.lit(batch_id).cast("long").alias("batch_id"),
+        "schedule_idx",
+        F.explode("ex.results").alias("r"),
+        F.col("ex.text").alias("text"),
+    ).select(
+        "url", "batch_id", "schedule_idx",
+        F.col("r.rank").alias("rank"), F.col("r.title").alias("title"),
+        F.col("r.abstract").alias("abstract"), F.col("r.link").alias("link"),
+        "text",
+    )
+
+
+def discover_candidates(ex: DataFrame, cfg: EngineConfig, batch_id: int) -> DataFrame:
+    """Outlinks of fetched pages → canonical candidates, one row per
+    distinct url_norm (deterministic min-struct parent pick)."""
+    links = (
+        ex.filter(F.col("hit"))
+        .select("seed_rank", "depth", F.explode("ex.links").alias("link"))
+        .withColumn("url_norm", udf_canonicalize("link"))
+        .filter(is_http(F.col("url_norm")))
+    )
+    cand = (
+        links.groupBy("url_norm")
+        .agg(
+            F.min(
+                F.struct(
+                    (F.col("depth") + 1).alias("priority"),
+                    F.col("seed_rank").alias("seed_rank"),
+                    (F.col("depth") + 1).alias("depth"),
+                    F.col("link").alias("url"),
+                )
+            ).alias("m")
+        )
+        .select("url_norm", "m.priority", "m.seed_rank", "m.depth", "m.url")
+    )
+    return _with_frontier_cols(
+        cand, depth=F.col("depth"), discovered_batch=batch_id, state=PENDING, cfg=cfg
+    ).select(*FRONTIER_COLS)
+
+
+# --- the engine ------------------------------------------------------------
+
+
+class CrawlEngine:
+    """Checkpointed multi-batch crawl loop (T1/T2).
+
+    Every batch is a pure function of the previous committed snapshot —
+    that is what makes resume-equivalence and parallelism-invariance
+    provable.  All state lives in the Checkpoint (storage.py); nothing is
+    carried driver-side between batches except the manifest pointer.
+    """
+
+    def __init__(self, spark: SparkSession, fixture_dir: str | Path,
+                 ckpt_dir: str | Path, cfg: EngineConfig | None = None):
+        self.spark = spark
+        self.fixture_dir = str(fixture_dir)
+        self.ckpt = Checkpoint(ckpt_dir)
+        self.cfg = cfg or EngineConfig()
+        self._n_bits, self._n_hashes = bloom.bloom_params(
+            self.cfg.shard_capacity, self.cfg.bloom_fpp
+        )
+
+    # --- snapshot IO ---
+    def _read(self, table: str, schema) -> DataFrame:
+        return self.spark.read.schema(schema).parquet(self.ckpt.table_path(table))
+
+    def _write_snapshot(self, df: DataFrame, table: str, batch_id: int,
+                        partition_expr=None) -> None:
+        out = df
+        if partition_expr is not None:
+            out = df.repartition(self.cfg.n_partitions, partition_expr)
+        out.write.mode("overwrite").parquet(self.ckpt.snapshot_dir(table, batch_id))
+
+    def frontier(self) -> DataFrame:
+        return self._read("frontier", FRONTIER_SCHEMA)
+
+    def seen_keys(self) -> DataFrame:
+        return self._read("seen_keys", SEEN_KEYS_SCHEMA)
+
+    def shards(self) -> DataFrame:
+        return self._read("url_seen", URL_SEEN_SHARDS_SCHEMA)
+
+    def results(self) -> DataFrame:
+        paths = self.ckpt.append_paths("results")
+        if not paths:
+            return self.spark.createDataFrame([], RESULTS_SCHEMA)
+        return self.spark.read.schema(RESULTS_SCHEMA).parquet(*paths)
+
+    def counters(self) -> DataFrame:
+        paths = self.ckpt.append_paths("counters")
+        if not paths:
+            return self.spark.createDataFrame([], COUNTERS_SCHEMA)
+        return self.spark.read.schema(COUNTERS_SCHEMA).parquet(*paths)
+
+    # --- batch 0 ---
+    def init(self) -> None:
+        if self.ckpt.current_batch() >= 0:
+            return
+        cfg = self.cfg
+        seeds = scan_seeds(self.spark, self.fixture_dir)
+        f0 = frontier_from_seeds(seeds, cfg)
+        self._write_snapshot(f0, "frontier", 0, partition_key("host_hash", "salt", cfg.n_partitions))
+        f0c = self.spark.read.schema(FRONTIER_SCHEMA).parquet(self.ckpt.snapshot_dir("frontier", 0))
+        seen0 = f0c.select("url_norm", "url_hash64")
+        self._write_snapshot(seen0, "seen_keys", 0)
+        shards0 = bloom.update_shards(
+            bloom.empty_shards(self.spark, cfg.n_shards, self._n_bits, self._n_hashes),
+            f0c.select("url_hash32", "url_hash64"),
+            cfg.n_shards, self._n_bits, self._n_hashes, batch_id=0,
+        )
+        self._write_snapshot(shards0, "url_seen", 0)
+        self.ckpt.commit(
+            0, {"frontier": 0, "seen_keys": 0, "url_seen": 0},
+            extra={"next_idx": 0}, append_batch=False,
+        )
+
+    # --- one micro-batch ---
+    def run_batch(self) -> dict:
+        cfg = self.cfg
+        man = self.ckpt.manifest()
+        assert man is not None, "call init() first"
+        b = man["batch_id"] + 1
+        base_idx = man["next_idx"]
+        pk = partition_key("host_hash", "salt", cfg.n_partitions)
+
+        frontier = self.frontier()
+        pending = frontier.filter(F.col("state") == PENDING)
+        rest = frontier.filter(F.col("state") != PENDING)
+        robots = scan_robots(self.spark, self.fixture_dir)
+        politeness = scan_politeness(self.spark, self.fixture_dir)
+
+        scheduled, blocked, allowed, eligible = gate_and_schedule(
+            pending, robots, politeness, cfg, base_idx
+        )
+        pages = scan_pages(self.spark, self.fixture_dir)
+        ex = fetch_and_extract(scheduled, pages).persist()
+
+        # results sink (S5)
+        results = results_from_extract(ex, b)
+        results.select([f.name for f in RESULTS_SCHEMA.fields]).write.mode(
+            "overwrite"
+        ).parquet(self.ckpt.append_dir("results", b))
+
+        # discovery + two-tier dedup (D5 bloom prefilter → J4 exact anti-join)
+        cand = discover_candidates(ex, cfg, b).persist()
+        probed = bloom.probe(
+            cand.select("url_norm", "url_hash32", "url_hash64"),
+            self.shards(), cfg.n_shards, passthrough_cols=["url_norm"],
+        )
+        fresh_norms = probed.filter(~F.col("maybe_seen")).select("url_norm")
+        maybe_norms = probed.filter(F.col("maybe_seen")).select("url_norm")
+        confirmed_new_norms = maybe_norms.join(self.seen_keys(), "url_norm", "left_anti")
+        new_norms = fresh_norms.unionByName(confirmed_new_norms)
+        new_rows = cand.join(new_norms, "url_norm", "left_semi").select(*FRONTIER_COLS).persist()
+
+        # frontier transition for scheduled rows
+        sched_after = ex.select(
+            *[c for c in FRONTIER_COLS if c not in ("state", "retry_count")],
+            F.when(F.col("hit"), F.lit(FETCHED))
+            .when(F.col("retry_count") + 1 >= cfg.max_retries, F.lit(FAILED))
+            .otherwise(F.lit(PENDING))
+            .alias("state"),
+            F.when(F.col("hit"), F.col("retry_count"))
+            .otherwise(F.col("retry_count") + 1)
+            .cast("int")
+            .alias("retry_count"),
+        )
+        unscheduled = (
+            allowed.join(scheduled.select("url_norm"), "url_norm", "left_anti")
+            .select(*FRONTIER_COLS)
+        )
+        new_frontier = (
+            rest.select(*FRONTIER_COLS)
+            .unionByName(blocked)
+            .unionByName(unscheduled)
+            .unionByName(sched_after.select(*FRONTIER_COLS))
+            .unionByName(new_rows)
+        )
+        self._write_snapshot(new_frontier, "frontier", b, pk)
+
+        # seen_keys + bloom shards
+        new_seen = self.seen_keys().unionByName(new_rows.select("url_norm", "url_hash64"))
+        self._write_snapshot(new_seen, "seen_keys", b)
+        shards2 = bloom.update_shards(
+            self.shards(), new_rows.select("url_hash32", "url_hash64"),
+            cfg.n_shards, self._n_bits, self._n_hashes, batch_id=b,
+        )
+        self._write_snapshot(shards2, "url_seen", b)
+
+        # per-partition counters + lineage (A2/S6) — grouped by the
+        # LOGICAL partition key, so counters are parallelism-invariant.
+        lineage = json.dumps(
+            {
+                "batch": b,
+                "frontier_in": f"frontier/snap-{b - 1}",
+                "frontier_out": f"frontier/snap-{b}",
+                "seen_in": f"seen_keys/snap-{b - 1}",
+                "seen_out": f"seen_keys/snap-{b}",
+                "url_seen_out": f"url_seen/snap-{b}",
+                "results_out": f"results/batch={b}",
+            },
+            sort_keys=True,
+        )
+
+        def per_pk(df: DataFrame, name: str) -> DataFrame:
+            return df.groupBy(pk.alias("partition_id")).agg(F.count("*").alias(name))
+
+        fetched_c = per_pk(ex.filter(F.col("hit")), "fetched")
+        failed_c = per_pk(
+            ex.filter(~F.col("hit") & (F.col("retry_count") + 1 >= cfg.max_retries)),
+            "failed",
+        )
+        blocked_c = per_pk(blocked, "robots_blocked")
+        deferred_c = (
+            per_pk(allowed, "n_allowed")
+            .join(per_pk(eligible, "n_eligible"), "partition_id", "full")
+            .select(
+                "partition_id",
+                (
+                    F.coalesce(F.col("n_allowed"), F.lit(0))
+                    - F.coalesce(F.col("n_eligible"), F.lit(0))
+                ).alias("politeness_deferred"),
+            )
+        )
+        deduped_c = per_pk(
+            cand.join(new_norms, "url_norm", "left_anti"), "deduped"
+        )
+        counters = (
+            fetched_c.join(deduped_c, "partition_id", "full")
+            .join(blocked_c, "partition_id", "full")
+            .join(deferred_c, "partition_id", "full")
+            .join(failed_c, "partition_id", "full")
+            .select(
+                F.lit(b).cast("long").alias("batch_id"),
+                F.col("partition_id").cast("int"),
+                *[
+                    F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                    for c in ("fetched", "deduped", "robots_blocked",
+                              "politeness_deferred", "failed")
+                ],
+                F.lit(lineage).alias("lineage"),
+            )
+        )
+        counters.write.mode("overwrite").parquet(self.ckpt.append_dir("counters", b))
+
+        n_scheduled = scheduled.count()
+        ex.unpersist()
+        cand.unpersist()
+        new_rows.unpersist()
+
+        self.ckpt.commit(
+            b,
+            {"frontier": b, "seen_keys": b, "url_seen": b},
+            extra={"next_idx": base_idx + n_scheduled},
+        )
+        row = (
+            self.counters()
+            .filter(F.col("batch_id") == b)
+            .agg(
+                *[
+                    F.coalesce(F.sum(c), F.lit(0)).alias(c)
+                    for c in ("fetched", "deduped", "robots_blocked",
+                              "politeness_deferred", "failed")
+                ]
+            )
+            .collect()[0]
+        )
+        agg = row.asDict()
+        agg["batch_id"] = b
+        agg["scheduled"] = n_scheduled
+        return agg
+
+    def run(self, n_batches: int) -> list[dict]:
+        self.init()
+        return [self.run_batch() for _ in range(n_batches)]

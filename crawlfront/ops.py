@@ -1,0 +1,115 @@
+"""Spark column operators and vectorized UDFs — SURVEY.md §2 cat. 2/8/10.
+
+Design rules (SURVEY.md §4):
+
+- everything that CAN stay JVM-side does: host/path extraction
+  (``F.parse_url``), hashing (``F.hash``/``F.xxhash64``), robots
+  longest-prefix matching (higher-order array functions — no UDF),
+  partition keys (``F.pmod``).  These stay inside whole-stage codegen and
+  keep predicate pushdown intact.
+- Python crosses the Arrow boundary in exactly two scalar pandas UDFs on
+  the hot path: D1 ``udf_canonicalize`` (stdlib urllib logic, no JVM
+  equivalent) and D3 ``udf_extract`` (stdlib html.parser).  Both are
+  vectorized over Arrow batches — no per-row Python anywhere
+  (BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .extract import extract_page
+from .schemas import EXTRACT_SCHEMA
+from .urlnorm import canonicalize_url
+
+# --- D1: canonicalize (scalar pandas UDF, Series→Series) -----------------
+
+
+@F.pandas_udf(T.StringType())
+def udf_canonicalize(urls: pd.Series) -> pd.Series:
+    # map over uniques: discovered-link batches repeat URLs heavily
+    uniq = {u: canonicalize_url(u) for u in urls.dropna().unique()}
+    return urls.map(uniq)
+
+
+# --- D3: extract (scalar pandas UDF returning a struct) -------------------
+
+
+@F.pandas_udf(EXTRACT_SCHEMA)
+def udf_extract(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+    rows = []
+    for h, u in zip(html, url):
+        if h is None:
+            rows.append((None, None, None, None))
+            continue
+        ex = extract_page(h, base_url=u or "")
+        rows.append(
+            (
+                ex.title,
+                [(r.rank, r.title, r.abstract, r.link) for r in ex.results],
+                ex.links,
+                ex.text,
+            )
+        )
+    return pd.DataFrame(rows, columns=["page_title", "results", "links", "text"])
+
+
+# --- JVM-side column helpers (P2, X1-X5, P5) ------------------------------
+
+
+def host_of(url: Column | str) -> Column:
+    """P2 — host for partitioning/politeness. url_norm hosts are already
+    lowercase (canonicalizer contract), so no extra lower() is needed on
+    normalized input; applied anyway for raw URLs. Stays in codegen."""
+    return F.lower(F.try_parse_url(F.col(url) if isinstance(url, str) else url, F.lit("HOST")))
+
+
+def path_of(url: Column | str) -> Column:
+    """URL path with the canonical empty→'/' rule (twin of urlnorm.url_path)."""
+    c = F.col(url) if isinstance(url, str) else url
+    p = F.try_parse_url(c, F.lit("PATH"))
+    return F.when(p.isNull() | (p == ""), F.lit("/")).otherwise(p)
+
+
+def hash32_of(col: Column | str) -> Column:
+    """X1 — murmur3-32, bit-identical to crawlfront.hashing.murmur3_32."""
+    return F.hash(F.col(col) if isinstance(col, str) else col)
+
+
+def hash64_of(col: Column | str) -> Column:
+    """X2 — xxhash64, bit-identical to crawlfront.hashing.xxhash64."""
+    return F.xxhash64(F.col(col) if isinstance(col, str) else col)
+
+
+def partition_key(host_hash: Column | str, salt: Column | str, n_partitions: int) -> Column:
+    """X3 — the frontier's logical partition id: pmod(host_hash + salt, P)."""
+    hh = F.col(host_hash) if isinstance(host_hash, str) else host_hash
+    s = F.col(salt) if isinstance(salt, str) else salt
+    return F.pmod(hh + s, F.lit(n_partitions)).cast("int")
+
+
+def robots_allow(path: Column, rules: Column) -> Column:
+    """P5 — RFC 9309-style longest-prefix match, all JVM-side.
+
+    ``rules`` is array<struct<prefix,allow>>.  Folds over the matching
+    prefixes keeping the longest; NULL/missing rules ⇒ allow.  Higher-order
+    functions keep this out of Python entirely (SURVEY.md §2 P5: "choose
+    HOF (stays in JVM)").
+    """
+    matched = F.filter(rules, lambda r: path.startswith(r["prefix"]))
+    best = F.aggregate(
+        matched,
+        F.struct(F.lit(-1).alias("plen"), F.lit(True).alias("allow")),
+        lambda acc, r: F.when(
+            F.length(r["prefix"]) > acc["plen"],
+            F.struct(F.length(r["prefix"]).alias("plen"), r["allow"].alias("allow")),
+        ).otherwise(acc),
+    )
+    return F.when(rules.isNull(), F.lit(True)).otherwise(best["allow"])
+
+
+def is_http(url: Column) -> Column:
+    return url.startswith("http://") | url.startswith("https://")

@@ -1,0 +1,106 @@
+"""Checkpoint / snapshot storage — SURVEY.md §7.4 (S3, S5, S6, T2).
+
+An Iceberg-shaped table layout on plain parquet: every committed batch is
+a set of immutable snapshot directories plus ONE atomic manifest-pointer
+swap (`os.replace`), giving all-or-nothing commits and time travel on a
+filesystem with atomic rename — the sandbox has no Iceberg runtime jar
+(SURVEY.md §0.3); on a real cluster the same call sites swap to
+``df.writeTo(...)`` Iceberg commits behind ``storage="iceberg"``.
+
+Layout::
+
+    ckpt/
+      manifest.json                 # atomic pointer: current batch + table→snapshot
+      manifests/manifest-<b>.json   # history (time travel / lineage)
+      frontier/snap-<b>/*.parquet
+      seen_keys/snap-<b>/*.parquet
+      url_seen/snap-<b>/*.parquet   # bloom shards
+      results/batch=<b>/*.parquet   # append-only, manifest lists valid batches
+      counters/batch=<b>/*.parquet
+
+Resume = read manifest, bind scans to pinned snapshots; snapshot dirs not
+referenced by any manifest are uncommitted garbage and ignored
+("runs resume exactly" — BASELINE.json:6,14).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+SNAPSHOT_TABLES = ("frontier", "seen_keys", "url_seen")
+APPEND_TABLES = ("results", "counters")
+
+
+class Checkpoint:
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        (self.root / "manifests").mkdir(exist_ok=True)
+
+    @property
+    def manifest_path(self) -> Path:
+        return self.root / "manifest.json"
+
+    def manifest(self) -> dict | None:
+        if not self.manifest_path.exists():
+            return None
+        return json.loads(self.manifest_path.read_text())
+
+    def current_batch(self) -> int:
+        m = self.manifest()
+        return -1 if m is None else m["batch_id"]
+
+    # --- paths ---------------------------------------------------------
+    def snapshot_dir(self, table: str, batch_id: int) -> str:
+        return str(self.root / table / f"snap-{batch_id}")
+
+    def append_dir(self, table: str, batch_id: int) -> str:
+        return str(self.root / table / f"batch={batch_id}")
+
+    def table_path(self, table: str) -> str:
+        """Path of ``table`` pinned at the current manifest."""
+        m = self.manifest()
+        if m is None:
+            raise FileNotFoundError(f"no manifest committed yet in {self.root}")
+        return str(self.root / m["tables"][table])
+
+    def append_paths(self, table: str) -> list[str]:
+        """All committed append dirs for results/counters (for reads)."""
+        m = self.manifest()
+        if m is None:
+            return []
+        return [str(self.root / table / f"batch={b}") for b in m["batches"]]
+
+    # --- commit --------------------------------------------------------
+    def commit(self, batch_id: int, snapshot_tables: dict[str, int],
+               extra: dict | None = None, append_batch: bool = True) -> dict:
+        """Atomically publish batch ``batch_id``.
+
+        ``snapshot_tables`` maps table name → the batch id of its current
+        snapshot (tables untouched this batch keep their old snapshot id).
+        All parquet under the new snapshot/append dirs must already be
+        fully written — this is the Iceberg-style "data first, pointer
+        last" protocol.
+        """
+        prev = self.manifest()
+        m = {
+            "batch_id": batch_id,
+            "tables": {t: f"{t}/snap-{b}" for t, b in snapshot_tables.items()},
+            "batches": ([] if prev is None else list(prev["batches"]))
+            + ([batch_id] if append_batch else []),
+            "parent": None if prev is None else prev["batch_id"],
+            **(extra or {}),
+        }
+        hist = self.root / "manifests" / f"manifest-{batch_id}.json"
+        hist.write_text(json.dumps(m, indent=1))
+        tmp = self.root / "manifest.json.tmp"
+        tmp.write_text(json.dumps(m, indent=1))
+        os.replace(tmp, self.manifest_path)  # the atomic pointer swap
+        return m
+
+    def manifest_at(self, batch_id: int) -> dict:
+        """Time travel: the manifest as of a committed batch."""
+        p = self.root / "manifests" / f"manifest-{batch_id}.json"
+        return json.loads(p.read_text())
