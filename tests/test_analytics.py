@@ -1,0 +1,98 @@
+"""Training-data pipeline ops: semantic checks that the SQL oracle can't
+express (MinHash quality, SimHash hamming, IVF recall, winnowing,
+multimodal plumbing)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlfront import analytics
+
+SF = "/root/testdata/sf0.01"
+
+
+def _jaccard(a: str, b: str, n=3) -> float:
+    def sh(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(max(1, len(toks) - n + 1))}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_pairs_are_really_similar(spark):
+    pairs = analytics.dedup_minhash_lsh(spark, SF).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    for r in pairs:
+        exact = _jaccard(docs[r["a"]], docs[r["b"]])
+        assert abs(exact - r["jaccard"]) < 1e-3  # engine's jaccard is exact
+        assert r["jaccard"] >= 0.5
+
+
+def test_minhash_recall_vs_bruteforce(spark):
+    """Every pair with true jaccard ≥ 0.8 must be caught by LSH (8 bands ×
+    4 rows → P(catch | j=0.8) ≈ 1-(1-0.8^4)^8 ≈ 0.98; the doc corpus is
+    small enough to brute-force the truth)."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    truth = set()
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if _jaccard(docs[a], docs[b]) >= 0.8:
+                truth.add((a, b))
+    got = {(r["a"], r["b"]) for r in analytics.dedup_minhash_lsh(spark, SF).collect()}
+    missed = truth - got
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_simhash_hamming_exact(spark):
+    pairs = analytics.dedup_simhash(spark, SF).limit(50).collect()
+    fps = {r["doc_id"]: r["simhash"] for r in analytics.simhash_docs(spark, SF).collect()}
+    for r in pairs:
+        assert bin(fps[r["a"]] ^ fps[r["b"]]).count("1") == r["hamming"] <= 3
+
+
+def test_ivf_recall(spark):
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in analytics.ann_cosine_topk(spark, SF).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in analytics.ann_ivf_topk(spark, SF).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.6, recall  # nprobe=4/16 deterministic buckets
+
+
+def test_winnow_shared_fingerprints_detect_overlap(spark):
+    """Two docs sharing a long substring share winnow fingerprints."""
+    fp = analytics.winnow_fingerprints(spark, SF)
+    # every doc has at least one fingerprint
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert fp.select("doc_id").distinct().count() == n_docs
+
+
+def test_multimodal_plumbing(spark):
+    from crawlfront.fixtures import fixture_dir_for_sf
+    from crawlfront.frontier import scan_pages
+
+    pages = scan_pages(spark, str(fixture_dir_for_sf(0.001)))
+    meta = analytics.multimodal_meta(spark, pages)
+    rows = meta.limit(20).collect()
+    assert all(r["n_bytes"] > 0 and not r["decoded"] for r in rows)
+    assert any(r["is_html"] for r in rows)
+    with pytest.raises(NotImplementedError):
+        analytics.decode_image_stub(b"\x89PNG")
+
+
+def test_global_index_dense_and_ordered(spark):
+    df = spark.range(0, 10_000).withColumn("k", (F.col("id") * 37) % 1000)
+    out = analytics.global_index(df, ["k", "id"], n_partitions=8).collect()
+    idx_by_key = sorted(out, key=lambda r: (r["k"], r["id"]))
+    assert [r["global_idx"] for r in idx_by_key] == list(range(10_000))

@@ -1,0 +1,62 @@
+"""Driver-contract smoke: entry() yields rows; a representative subset of
+queries() matches oracle_sql() via DuckDB exactly as the driver compares
+them (full sweep: python tools/check_contract.py)."""
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from tools.check_contract import SF_DIR, TABLES, canon  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SUBSET = [
+    "w1_w3_schedule_batch1",
+    "p5_robots_match",
+    "q1_pricing_summary",
+    "dedup_exact",
+    "ann_cosine_topk",
+    "lang_id",
+    "quality_score",
+    "x9_json_props",
+    "d3_extract_text_invariant",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"url", "schedule_idx", "rank", "title", "abstract", "link", "text"} <= set(
+        df.columns
+    )
+
+
+def test_every_query_runs_has_oracle_or_reason():
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 25
+
+
+@pytest.mark.parametrize("key", SUBSET)
+def test_query_matches_oracle(spark, duck, key):
+    sdf = entrymod.queries()[key](spark, SF_DIR).toPandas()
+    ddf = duck.execute(entrymod.oracle_sql()[key]).df()
+    sn, sc, sv = canon(sdf)
+    dn, dc, dv = canon(ddf)
+    assert sc == dc
+    assert sn == dn
+    assert sv == dv
