@@ -389,6 +389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": analytics.dedup_exact,
         "dedup_minhash_lsh": analytics.dedup_minhash_lsh,
         "dedup_simhash": analytics.dedup_simhash,
+        "dedup_ngram_jaccard": analytics.dedup_ngram_jaccard,
+        "dedup_embedding": analytics.dedup_embedding,
         "simhash_fingerprints": analytics.simhash_docs,
         "winnow_fingerprints": analytics.winnow_fingerprints,
         "ann_cosine_topk": analytics.ann_cosine_topk,
@@ -515,6 +517,38 @@ def oracle_sql() -> dict[str, str]:
         "x8_array_norm": "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> x::double * x::double))), 4) AS l2_norm FROM embeddings",
         # training-data pipeline
         "dedup_exact": "SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_doc_id FROM documents GROUP BY 1",
+        "dedup_ngram_jaccard": """
+          WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          sh AS (SELECT doc_id,
+                   CASE WHEN len(toks) >= 3
+                     THEN list_distinct(list_transform(range(len(toks) - 2),
+                                                       j -> array_to_string(toks[j + 1 : j + 3], ' ')))
+                     ELSE [array_to_string(toks, ' ')] END AS shl
+                 FROM t),
+          sizes AS (SELECT doc_id, len(shl) AS n_sh FROM sh),
+          inv AS (SELECT doc_id, unnest(shl) AS shingle FROM sh),
+          co AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
+                 FROM inv l JOIN inv r USING (shingle)
+                 WHERE l.doc_id < r.doc_id GROUP BY 1, 2)
+          SELECT co.a, co.b, co.n_common::bigint AS n_common,
+                 round(co.n_common / (sa.n_sh + sb.n_sh - co.n_common)::double, 4) AS jaccard
+          FROM co JOIN sizes sa ON co.a = sa.doc_id JOIN sizes sb ON co.b = sb.doc_id
+          WHERE round(co.n_common / (sa.n_sh + sb.n_sh - co.n_common)::double, 4) >= 0.5""",
+        "dedup_embedding": """
+          WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+          c AS (SELECT vec_id AS cent_id, emb AS cv FROM e ORDER BY vec_id LIMIT 16),
+          a0 AS (SELECT e.vec_id, e.emb, c.cent_id,
+                   round(list_dot_product(e.emb, c.cv) /
+                         (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS csim
+                 FROM e CROSS JOIN c),
+          asn AS (SELECT vec_id, emb, cent_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS ark
+                    FROM a0) WHERE ark = 1),
+          p AS (SELECT l.vec_id AS a, r.vec_id AS b,
+                  round(list_dot_product(l.emb, r.emb) /
+                        (sqrt(list_dot_product(l.emb, l.emb)) * sqrt(list_dot_product(r.emb, r.emb))), 6) AS cos
+                FROM asn l JOIN asn r USING (cent_id) WHERE l.vec_id < r.vec_id)
+          SELECT a, b, cos FROM p WHERE cos >= 0.3""",
         "ann_cosine_topk": """
           WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings ORDER BY vec_id LIMIT 10),
           e2 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

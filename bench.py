@@ -1,0 +1,178 @@
+"""Bench harness (SURVEY.md §7.1 M6) — prints ONE JSON line.
+
+Default mode (what the driver runs per round):
+    python bench.py
+runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` (default 32)
+and prints
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "drain_urls_per_sec": ..., "drain_batches": ...}
+
+Scaling mode (the BASELINE.json N-vs-4N evidence — no real cluster in
+this sandbox, so two parallelism levels on identical input):
+    python bench.py --scaling
+runs the SAME frontier-drain job at local[8] and local[32] in two
+fresh SparkSessions and prints throughput at both plus
+``efficiency = thr(32) / (4 * thr(8))``; results are recorded in
+BASELINE.md.
+
+Timing rules (BASELINE.md §measurement): same seed/fixtures/drain-K for
+every run; queries are materialized with the ``noop`` sink (full compute,
+no driver collect); drain throughput = (scheduled + fetched) rows /
+wall-clock of the timed batches, from the counters table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+# headline queries() keys benched in default mode — one per major operator
+# family (crawl scheduling, extraction UDF, TPC-H joins/aggs, dedup family,
+# ANN, text analysis).
+HEADLINE = [
+    "w1_w3_schedule_batch1",
+    "d3_extract_text_invariant",
+    "p5_robots_match",
+    "a1_host_stats",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "j6_asof_latest",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "lang_id",
+    "quality_score",
+    "token_count",
+]
+
+
+def _materialize(df) -> None:
+    # noop sink: full distributed execution, zero driver-side result transfer
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_drain(spark, sf: float, n_batches: int) -> dict:
+    """Timed frontier drain: batch 1 is warm-up (excluded), batches 2..n
+    timed.  Returns throughput from the counters table."""
+    from crawlfront.fixtures import fixture_dir_for_sf
+    from crawlfront.frontier import CrawlEngine, EngineConfig
+
+    fx = fixture_dir_for_sf(sf)
+    ck = tempfile.mkdtemp(prefix="bench_ckpt_")
+    try:
+        cfg = EngineConfig(drain_k=max(2000, int(20000 * sf)))
+        eng = CrawlEngine(spark, fx, ck, cfg)
+        eng.init()
+        eng.run_batch()  # warm-up, excluded
+        t0 = time.monotonic()
+        rows = 0
+        for _ in range(n_batches):
+            agg = eng.run_batch()
+            rows += agg["scheduled"] + agg["fetched"]
+        dt = time.monotonic() - t0
+        return {
+            "drain_batches": n_batches,
+            "drain_sec": round(dt, 3),
+            "drain_rows": rows,
+            "drain_urls_per_sec": round(rows / dt, 1) if dt > 0 else 0.0,
+        }
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+def bench_default(sf_dir: str, cpus: int) -> dict:
+    from crawlfront.fixtures import sf_of_dir
+    from crawlfront.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    sf = sf_of_dir(sf_dir)
+    spark = get_spark(f"local[{cpus}]", app_name="crawlfront-bench",
+                      shuffle_partitions=cpus)
+    try:
+        qs = entrymod.queries()
+        times: dict[str, float] = {}
+        for key in HEADLINE:
+            # run 1 = warm-up (codegen compile + parquet footer cache),
+            # run 2 = the reported steady-state time (BASELINE.md rules)
+            _materialize(qs[key](spark, sf_dir))
+            t0 = time.monotonic()
+            _materialize(qs[key](spark, sf_dir))
+            times[key] = round(time.monotonic() - t0, 3)
+        drain = run_drain(spark, sf, n_batches=2)
+    finally:
+        spark.stop()
+    total = round(sum(times.values()) + drain["drain_sec"], 3)
+    return {
+        "metric": "headline_queries_plus_drain_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        **drain,
+        "cpus": cpus,
+    }
+
+
+def bench_scaling(sf_dir: str, n_batches: int) -> dict:
+    """Same drain job, identical input/seed/config, local[8] then
+    local[32] — the sandbox stand-in for N vs 4N executors."""
+    from crawlfront.fixtures import sf_of_dir
+    from crawlfront.session import get_spark
+
+    sf = sf_of_dir(sf_dir)
+    out: dict[str, dict] = {}
+    for cores in (8, 32):
+        spark = get_spark(f"local[{cores}]", app_name=f"crawlfront-scale-{cores}",
+                          shuffle_partitions=32)
+        try:
+            out[str(cores)] = run_drain(spark, sf, n_batches)
+        finally:
+            spark.stop()
+    thr8 = out["8"]["drain_urls_per_sec"]
+    thr32 = out["32"]["drain_urls_per_sec"]
+    eff = round(thr32 / (4 * thr8), 3) if thr8 else 0.0
+    return {
+        "metric": "scaling_efficiency_local8_to_local32",
+        "value": eff,
+        "unit": "ratio",
+        "sf": sf,
+        "thr_local8_urls_per_sec": thr8,
+        "thr_local32_urls_per_sec": thr32,
+        "detail": out,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR))
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--batches", type=int, default=3)
+    args = ap.parse_args()
+    result = (
+        bench_scaling(args.sf_dir, args.batches)
+        if args.scaling
+        else bench_default(args.sf_dir, args.cpus)
+    )
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

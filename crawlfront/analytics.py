@@ -138,6 +138,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, n_hashes: int = 32,
     return verified
 
 
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
+                        jaccard_threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram (3-word-shingle) Jaccard near-dup pairs via an
+    inverted index: explode distinct shingles, self-join on shingle to
+    co-count |A∩B|, then |A∪B| = |A| + |B| − |A∩B|.  No per-pair array
+    materialization — the shuffle is keyed by shingle, so at 100 TB the
+    only skew risk is stop-shingles (mitigated upstream by the distinct
+    + min-doc-frequency filter a production pipeline would add)."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(_shingles(F.split("text", " "))).alias("sh")
+    )
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    co = (
+        inv.alias("l")
+        .join(inv.alias("r"), "shingle")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        co.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", F.col("n_common").cast("long").alias("n_common"), "jaccard")
+    )
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document: per-token murmur3, ±1 vote per bit
     weighted by token frequency, sign → fingerprint.  32 conditional sums
@@ -259,15 +291,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 
         emb.orderBy("vec_id").limit(n_centroids)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c"))
     )
-    # assign every vector to its nearest centroid (broadcast centroids)
-    wassign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("csim", F.round(_dot("embedding", "c") / (_norm("embedding") * _norm("c")), 9))
-        .withColumn("ark", F.row_number().over(wassign))
-        .filter(F.col("ark") == 1)
-        .select("vec_id", "embedding", "cent_id")
-    )
+    assigned = _centroid_assignment(emb, n_centroids)
     queries = (
         emb.orderBy("vec_id").limit(n_queries)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))
@@ -289,6 +313,51 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 
         .filter(F.col("rk") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos",
                 F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _centroid_assignment(emb: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic coarse-centroid assignment (shared by ann_ivf_topk
+    and dedup_embedding): centroids are the first-N vectors by vec_id;
+    every vector goes to its highest-cosine centroid (ties → lowest
+    cent_id).  In a real deployment this is a write-time bucketing."""
+    cents = (
+        emb.orderBy("vec_id").limit(n_centroids)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c"))
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.round(_dot("embedding", "c") / (_norm("embedding") * _norm("c")), 9))
+        .withColumn("ark", F.row_number().over(wassign))
+        .filter(F.col("ark") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str, cos_threshold: float = 0.3,
+                    n_centroids: int = 16) -> DataFrame:
+    """Embedding-cosine near-dup pairs, centroid-blocked: candidate pairs
+    are generated only within a coarse-centroid bucket (the IVF write-time
+    partitioning — self-join never goes corpus-quadratic), then exact
+    cosine filters.  Blocking recall is bounded by bucket granularity,
+    like every IVF-style near-dup pass."""
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = _centroid_assignment(emb, n_centroids)
+    return (
+        assigned.alias("l")
+        .join(assigned.alias("r"), "cent_id")
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("l.embedding"), F.col("r.embedding"))
+                / (_norm(F.col("l.embedding")) * _norm(F.col("r.embedding"))),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= cos_threshold)
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"), "cos")
     )
 
 
