@@ -406,7 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    pages = f"read_parquet('{_FX}/pages.parquet')"
+    # pages is a directory of part files (parallel-scan layout) — DuckDB
+    # reads it via glob; row order across files follows the part numbering
+    pages = f"read_parquet('{_FX}/pages.parquet/*.parquet')"
     seeds = f"read_parquet('{_FX}/seeds.parquet')"
     robots = f"read_parquet('{_FX}/robots.parquet')"
     politeness = f"read_parquet('{_FX}/politeness.parquet')"

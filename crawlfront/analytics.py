@@ -26,8 +26,18 @@ from pyspark.sql import functions as F
 STOPWORDS = ("the", "a", "and", "of", "to")
 
 
-def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(str(Path(sf_dir) / f"{table}.parquet"))
+def _read(spark: SparkSession, sf_dir: str, table: str,
+          parallel: bool = False) -> DataFrame:
+    """Read a driver table.  ``parallel=True`` adds a round-robin
+    repartition to default parallelism: the driver parquet files are
+    single-row-group (one scan task), so any operator doing heavy
+    per-row work straight after the scan (shingle explode, hash fanout)
+    would otherwise run on one core.  Round-robin repartition is
+    deterministic under retry (Spark sorts partition contents first)."""
+    df = spark.read.parquet(str(Path(sf_dir) / f"{table}.parquet"))
+    if parallel:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # --- deduplication ---------------------------------------------------------
@@ -63,7 +73,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str, n_hashes: int = 32) -> 
     classic explode → per-hash min aggregation: map-side partial min
     makes this one shuffle of (doc_id, 32 ints) regardless of corpus
     size."""
-    docs = _read(spark, sf_dir, "documents").select(
+    docs = _read(spark, sf_dir, "documents", parallel=True).select(
         "doc_id", F.split("text", " ").alias("toks")
     )
     sh = docs.select("doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle"))
@@ -146,7 +156,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     materialization — the shuffle is keyed by shingle, so at 100 TB the
     only skew risk is stop-shingles (mitigated upstream by the distinct
     + min-doc-frequency filter a production pipeline would add)."""
-    docs = _read(spark, sf_dir, "documents").select(
+    docs = _read(spark, sf_dir, "documents", parallel=True).select(
         "doc_id", F.array_distinct(_shingles(F.split("text", " "))).alias("sh")
     )
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
@@ -175,7 +185,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted by token frequency, sign → fingerprint.  32 conditional sums
     over one explode — all codegen, one shuffle."""
     toks = (
-        _read(spark, sf_dir, "documents")
+        _read(spark, sf_dir, "documents", parallel=True)
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .withColumn("h", F.hash("tok"))
     )
@@ -255,7 +265,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 5,
     """Brute-force cosine top-k: broadcast the (small) query side against
     the full corpus — the exact baseline every ANN variant is judged
     against.  Ranks are total-ordered (sim desc, vec_id asc)."""
-    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _read(spark, sf_dir, "embeddings", parallel=True).select("vec_id", "embedding")
     w = Window.orderBy("vec_id")
     queries = (
         emb.orderBy("vec_id").limit(n_queries)
@@ -420,7 +430,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str, k: int = 5, w: int = 8
     """Winnowing (rolling-hash) document fingerprints: hash every
     k-gram of tokens, keep the min hash of each sliding window of w
     k-grams (classic MOSS scheme), distinct per doc.  All array HOFs."""
-    docs = _read(spark, sf_dir, "documents").select(
+    docs = _read(spark, sf_dir, "documents", parallel=True).select(
         "doc_id", F.split("text", " ").alias("toks")
     )
     kgram_hashes = F.transform(

@@ -180,7 +180,23 @@ def generate_fixtures(sf: float, out_dir: str | Path, force: bool = False) -> Pa
             "lang": pa.array([langs[i] for i in order], pa.string()),
         }
     )
-    pq.write_table(pages, out / "pages.parquet", row_group_size=1 << 20)
+    # pages is the big table and carries the per-row Python extraction
+    # cost downstream — write it as a DIRECTORY of deterministic part
+    # files with small row groups so Spark scans parallelize (a single
+    # 80 MB one-row-group file = one task = one core, SURVEY.md §4).
+    pages_dir = out / "pages.parquet"
+    if pages_dir.exists() and pages_dir.is_file():
+        pages_dir.unlink()
+    pages_dir.mkdir(parents=True, exist_ok=True)
+    for old in pages_dir.glob("part-*.parquet"):
+        old.unlink()
+    chunk = 8192
+    for fi, lo in enumerate(range(0, max(pages.num_rows, 1), chunk)):
+        pq.write_table(
+            pages.slice(lo, chunk),
+            pages_dir / f"part-{fi:05d}.parquet",
+            row_group_size=chunk,
+        )
 
     seeds = pa.table(
         {
