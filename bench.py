@@ -65,7 +65,7 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_drain(spark, sf: float, n_batches: int) -> dict:
+def run_drain(spark, sf: float, n_batches: int, cfg=None) -> dict:
     """Timed frontier drain: batch 1 is warm-up (excluded), batches 2..n
     timed.  Returns throughput from the counters table."""
     from crawlfront.fixtures import fixture_dir_for_sf
@@ -74,7 +74,7 @@ def run_drain(spark, sf: float, n_batches: int) -> dict:
     fx = fixture_dir_for_sf(sf)
     ck = tempfile.mkdtemp(prefix="bench_ckpt_")
     try:
-        cfg = EngineConfig(drain_k=max(2000, int(20000 * sf)))
+        cfg = cfg or EngineConfig(drain_k=max(2000, int(20000 * sf)))
         eng = CrawlEngine(spark, fx, ck, cfg)
         eng.init()
         eng.run_batch()  # warm-up, excluded
@@ -128,21 +128,29 @@ def bench_default(sf_dir: str, cpus: int) -> dict:
     }
 
 
-def bench_scaling(sf_dir: str, n_batches: int) -> dict:
+def bench_scaling(sf: float, n_batches: int) -> dict:
     """Same drain job, identical input/seed/config, local[8] then
-    local[32] — the sandbox stand-in for N vs 4N executors."""
-    from crawlfront.fixtures import sf_of_dir
-    from crawlfront.session import get_spark
+    local[32] — the sandbox stand-in for N vs 4N executors.
 
-    sf = sf_of_dir(sf_dir)
+    Uses a throughput-oriented config (large drain_k, effectively
+    unlimited default politeness budget — the per-host hot-host caps in
+    the politeness fixture still apply) so the timed batches are
+    compute-bound (extraction + dedup + bloom over tens of thousands of
+    pages), not dominated by per-job scheduling overhead that no number
+    of cores can shrink."""
+    import subprocess
+
     out: dict[str, dict] = {}
     for cores in (8, 32):
-        spark = get_spark(f"local[{cores}]", app_name=f"crawlfront-scale-{cores}",
-                          shuffle_partitions=32)
-        try:
-            out[str(cores)] = run_drain(spark, sf, n_batches)
-        finally:
-            spark.stop()
+        # EACH level in a FRESH subprocess: reusing one driver JVM lets
+        # the second run inherit JIT-compiled codegen from the first,
+        # which inflates its throughput (observed 2x super-linear).
+        proc = subprocess.run(
+            [sys.executable, __file__, "--drain-once", "--cpus", str(cores),
+             "--sf", str(sf), "--batches", str(n_batches)],
+            capture_output=True, text=True, check=True,
+        )
+        out[str(cores)] = json.loads(proc.stdout.strip().splitlines()[-1])
     thr8 = out["8"]["drain_urls_per_sec"]
     thr32 = out["32"]["drain_urls_per_sec"]
     eff = round(thr32 / (4 * thr8), 3) if thr8 else 0.0
@@ -157,19 +165,48 @@ def bench_scaling(sf_dir: str, n_batches: int) -> dict:
     }
 
 
+def scaling_cfg():
+    from crawlfront.frontier import EngineConfig
+
+    return EngineConfig(budget_scale=10_000, unbounded_drain=True,
+                        n_shards=256, shard_capacity=100_000)
+
+
+def drain_once(sf: float, cores: int, n_batches: int) -> dict:
+    """Subprocess worker for --scaling: one parallelism level, fresh JVM.
+
+    Runs the WHOLE drain once untimed first (JIT/codegen warm-up — at 32
+    concurrent threads a cold JVM runs every first-wave task interpreted,
+    which would bias the comparison against the higher parallelism), then
+    reports the steady-state timed drain on a fresh checkpoint."""
+    from crawlfront.session import get_spark
+
+    spark = get_spark(f"local[{cores}]", app_name=f"crawlfront-scale-{cores}",
+                      shuffle_partitions=32)
+    try:
+        run_drain(spark, sf, n_batches, cfg=scaling_cfg())  # warm-up, discarded
+        return run_drain(spark, sf, n_batches, cfg=scaling_cfg())
+    finally:
+        spark.stop()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--drain-once", action="store_true")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR))
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--batches", type=int, default=3)
+    ap.add_argument("--sf", type=float, default=0.1,
+                    help="crawl-fixture scale for --scaling mode")
     args = ap.parse_args()
-    result = (
-        bench_scaling(args.sf_dir, args.batches)
-        if args.scaling
-        else bench_default(args.sf_dir, args.cpus)
-    )
+    if args.drain_once:
+        result = drain_once(args.sf, args.cpus, args.batches)
+    elif args.scaling:
+        result = bench_scaling(args.sf, args.batches)
+    else:
+        result = bench_default(args.sf_dir, args.cpus)
     print(json.dumps(result))
     return 0
 

@@ -499,25 +499,6 @@ def decode_image_stub(data: bytes) -> tuple[int, int]:
 
 # --- scale utility: unbounded global index ---------------------------------
 
-
-def global_index(df: DataFrame, order_cols: list[str], n_partitions: int = 64,
-                 name: str = "global_idx") -> DataFrame:
-    """Global dense 0-based index over an UNBOUNDED dataframe without a
-    single-partition window (SURVEY.md §2 W3 scale path): range-partition
-    by the order key, rank within partitions, then add broadcasted
-    per-partition offsets (two-pass cumulative-count trick).  Used when a
-    drain has no top-K cap; the main engine path caps at drain_k and uses
-    a plain window."""
-    part = df.repartitionByRange(n_partitions, *order_cols)
-    w_in = Window.partitionBy(F.spark_partition_id()).orderBy(*order_cols)
-    with_local = part.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_local", F.row_number().over(w_in)
-    )
-    counts = with_local.groupBy("_pid").agg(F.count("*").alias("_n"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
-    return (
-        with_local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
-        .withColumn(name, (F.col("_local") - 1 + F.col("_off")).cast("long"))
-        .drop("_pid", "_local")
-    )
+# canonical implementation lives in ops.py (shared with the frontier's
+# unbounded-drain W3 path); re-exported here for back-compat
+from .ops import global_index  # noqa: E402,F401

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from . import bloom
 from .oracle_sim import DEFAULT_BUDGET, DEFAULT_DRAIN_K, MAX_RETRIES, discovered_ts
 from .ops import (
+    global_index,
     hash32_of,
     hash64_of,
     host_of,
@@ -79,6 +80,15 @@ class EngineConfig:
     default_budget: int = DEFAULT_BUDGET
     drain_k: int = DEFAULT_DRAIN_K
     max_retries: int = MAX_RETRIES
+    #: multiplies every per-host budget (politeness table and default).
+    #: 1 = reference-faithful politeness; the throughput bench raises it
+    #: so timed batches are compute-bound rather than budget-starved.
+    budget_scale: int = 1
+    #: drain EVERYTHING eligible each batch (no top-K cap).  Switches W3
+    #: to the two-pass global-index formulation (no single-partition
+    #: window, no TakeOrdered of the full frontier) — the 10^10-scale
+    #: path.  Semantically identical to drain_k = +inf.
+    unbounded_drain: bool = False
     n_partitions: int = 32  # logical frontier partitions (pmod(host_hash+salt, P))
     n_salts: int = 8
     n_shards: int = 64
@@ -167,7 +177,8 @@ def gate_and_schedule(
     allowed = g.filter(F.col("allow")).drop("rules", "allow")
 
     p = allowed.join(F.broadcast(politeness), "host", "left").withColumn(
-        "budget", F.coalesce(F.col("budget"), F.lit(cfg.default_budget))
+        "budget",
+        F.coalesce(F.col("budget"), F.lit(cfg.default_budget)) * F.lit(cfg.budget_scale),
     )
     # W1 phase 1: skew-safe local rank within (host, salt)
     w_local = Window.partitionBy("host", "salt").orderBy(*_HOST_ORDER)
@@ -179,23 +190,41 @@ def gate_and_schedule(
     ranked = local.withColumn("host_rank", F.row_number().over(w_host))
     eligible = ranked.filter(F.col("host_rank") <= F.col("budget"))
 
-    # O1: distributed top-K (TakeOrderedAndProject) on the total schedule key
-    scheduled = eligible.orderBy(*_SCHED_ORDER).limit(cfg.drain_k)
-    # W3: global schedule_idx — the window input is capped at drain_k rows
-    # by O1, so the single-partition window is bounded by design
-    # (SURVEY.md §2 W3; unbounded variant: ops in analytics.global_index).
-    w_global = Window.orderBy(*_SCHED_ORDER)
-    scheduled = scheduled.withColumn(
-        "schedule_idx", (F.row_number().over(w_global) - 1 + F.lit(base_idx)).cast("long")
-    )
+    if cfg.unbounded_drain:
+        # O1 skipped (K = +inf); W3 via the two-pass range-partitioned
+        # index — no serial stage anywhere in the schedule path
+        scheduled = global_index(
+            eligible, _SCHED_ORDER, cfg.n_partitions, "schedule_idx", base=base_idx
+        )
+    else:
+        # O1: distributed top-K (TakeOrderedAndProject) on the total schedule key
+        scheduled = eligible.orderBy(*_SCHED_ORDER).limit(cfg.drain_k)
+        # W3: global schedule_idx — the window input is capped at drain_k
+        # rows by O1, so the single-partition window is bounded by design
+        # (SURVEY.md §2 W3; unbounded variant: ops.global_index).
+        w_global = Window.orderBy(*_SCHED_ORDER)
+        scheduled = scheduled.withColumn(
+            "schedule_idx", (F.row_number().over(w_global) - 1 + F.lit(base_idx)).cast("long")
+        )
     return scheduled, blocked, allowed, eligible
 
 
 def fetch_and_extract(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
-    """J3 + D3: resolve scheduled URLs to page bytes, run the extraction
-    UDF.  Left join — a miss is a fetch failure (retry path).  ``html`` is
-    projected only here, never upstream (column-pruning design rule)."""
-    fetched = scheduled.join(pages.select("url", "html"), "url", "left")
+    """J3 + D3: resolve each scheduled URL to its page bytes, run the
+    extraction UDF.  Left join — a miss is a fetch failure (retry path).
+
+    Join strategy (SURVEY.md §4): the scheduled URL LIST is tiny (capped
+    at drain_k) while pages carries the wide ``html`` column, so the urls
+    are broadcast for a semi-join prefilter of pages — the full corpus is
+    scanned but never SHUFFLED (no 100-TB html exchange; a plain SMJ here
+    shuffles the whole pages table every batch).  The surviving ≤drain_k
+    pages then left-join back to scheduled; AQE sees the pruned size at
+    runtime and picks broadcast.  ``html`` is projected only here, never
+    upstream (column-pruning design rule)."""
+    wanted = pages.select("url", "html").join(
+        F.broadcast(scheduled.select("url")), "url", "left_semi"
+    )
+    fetched = scheduled.join(wanted, "url", "left")
     return (
         fetched.withColumn("hit", F.col("html").isNotNull())
         .withColumn("ex", udf_extract("html", "url"))
@@ -327,12 +356,22 @@ class CrawlEngine:
 
     # --- one micro-batch ---
     def run_batch(self) -> dict:
+        import time as _time
+
         cfg = self.cfg
         man = self.ckpt.manifest()
         assert man is not None, "call init() first"
         b = man["batch_id"] + 1
         base_idx = man["next_idx"]
         pk = partition_key("host_hash", "salt", cfg.n_partitions)
+        timings: dict[str, float] = {}
+        _t0 = _time.monotonic()
+
+        def _mark(phase: str) -> None:
+            nonlocal _t0
+            now = _time.monotonic()
+            timings[phase] = round(now - _t0, 3)
+            _t0 = now
 
         frontier = self.frontier()
         pending = frontier.filter(F.col("state") == PENDING)
@@ -340,9 +379,16 @@ class CrawlEngine:
         robots = scan_robots(self.spark, self.fixture_dir)
         politeness = scan_politeness(self.spark, self.fixture_dir)
 
+        # The gate outputs are re-read by the frontier transition, the
+        # counters, and the discovery legs — persist them once instead of
+        # re-running the scan→join→window→top-k pipeline per action.
         scheduled, blocked, allowed, eligible = gate_and_schedule(
             pending, robots, politeness, cfg, base_idx
         )
+        scheduled = scheduled.persist()
+        blocked = blocked.persist()
+        allowed = allowed.persist()
+        eligible = eligible.persist()
         pages = scan_pages(self.spark, self.fixture_dir)
         ex = fetch_and_extract(scheduled, pages).persist()
 
@@ -351,6 +397,7 @@ class CrawlEngine:
         results.select([f.name for f in RESULTS_SCHEMA.fields]).write.mode(
             "overwrite"
         ).parquet(self.ckpt.append_dir("results", b))
+        _mark("schedule_fetch_extract_results")
 
         # discovery + two-tier dedup (D5 bloom prefilter → J4 exact anti-join)
         cand = discover_candidates(ex, cfg, b).persist()
@@ -361,8 +408,12 @@ class CrawlEngine:
         fresh_norms = probed.filter(~F.col("maybe_seen")).select("url_norm")
         maybe_norms = probed.filter(F.col("maybe_seen")).select("url_norm")
         confirmed_new_norms = maybe_norms.join(self.seen_keys(), "url_norm", "left_anti")
-        new_norms = fresh_norms.unionByName(confirmed_new_norms)
+        # persisted: read twice (new_rows semi-join + deduped counter) and
+        # its lineage crosses the bloom-probe cogroup UDF — recompute is
+        # a whole extra Python stage
+        new_norms = fresh_norms.unionByName(confirmed_new_norms).persist()
         new_rows = cand.join(new_norms, "url_norm", "left_semi").select(*FRONTIER_COLS).persist()
+        _mark("discover_dedup")
 
         # frontier transition for scheduled rows
         sched_after = ex.select(
@@ -388,6 +439,7 @@ class CrawlEngine:
             .unionByName(new_rows)
         )
         self._write_snapshot(new_frontier, "frontier", b, pk)
+        _mark("frontier_write")
 
         # seen_keys + bloom shards
         new_seen = self.seen_keys().unionByName(new_rows.select("url_norm", "url_hash64"))
@@ -397,6 +449,7 @@ class CrawlEngine:
             cfg.n_shards, self._n_bits, self._n_hashes, batch_id=b,
         )
         self._write_snapshot(shards2, "url_seen", b)
+        _mark("seen_bloom_write")
 
         # per-partition counters + lineage (A2/S6) — grouped by the
         # LOGICAL partition key, so counters are parallelism-invariant.
@@ -452,33 +505,34 @@ class CrawlEngine:
                 F.lit(lineage).alias("lineage"),
             )
         )
+        counters = counters.persist()
         counters.write.mode("overwrite").parquet(self.ckpt.append_dir("counters", b))
+        _mark("counters_write")
 
         n_scheduled = scheduled.count()
-        ex.unpersist()
-        cand.unpersist()
-        new_rows.unpersist()
 
         self.ckpt.commit(
             b,
             {"frontier": b, "seen_keys": b, "url_seen": b},
             extra={"next_idx": base_idx + n_scheduled},
         )
-        row = (
-            self.counters()
-            .filter(F.col("batch_id") == b)
-            .agg(
-                *[
-                    F.coalesce(F.sum(c), F.lit(0)).alias(c)
-                    for c in ("fetched", "deduped", "robots_blocked",
-                              "politeness_deferred", "failed")
-                ]
-            )
-            .collect()[0]
-        )
+        # batch summary from the (tiny, persisted) counters of THIS batch —
+        # not a re-read of every committed batch dir
+        row = counters.agg(
+            *[
+                F.coalesce(F.sum(c), F.lit(0)).alias(c)
+                for c in ("fetched", "deduped", "robots_blocked",
+                          "politeness_deferred", "failed")
+            ]
+        ).collect()[0]
+        for df in (ex, cand, new_rows, new_norms, scheduled, blocked, allowed,
+                   eligible, counters):
+            df.unpersist()
         agg = row.asDict()
         agg["batch_id"] = b
         agg["scheduled"] = n_scheduled
+        _mark("commit_readback")
+        self.last_timings = timings
         return agg
 
     def run(self, n_batches: int) -> list[dict]:

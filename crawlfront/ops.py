@@ -113,3 +113,28 @@ def robots_allow(path: Column, rules: Column) -> Column:
 
 def is_http(url: Column) -> Column:
     return url.startswith("http://") | url.startswith("https://")
+
+
+def global_index(df, order_cols: list[str], n_partitions: int = 64,
+                 name: str = "global_idx", base: int = 0):
+    """Global dense 0-based index over an UNBOUNDED dataframe without a
+    single-partition window (SURVEY.md §2 W3 scale path): range-partition
+    by the order key, rank within partitions, then add broadcasted
+    per-partition offsets (two-pass cumulative-count trick).  Used when a
+    drain has no top-K cap; the capped engine path uses a plain window
+    over ≤drain_k rows."""
+    from pyspark.sql import Window
+
+    part = df.repartitionByRange(n_partitions, *order_cols)
+    w_in = Window.partitionBy(F.spark_partition_id()).orderBy(*order_cols)
+    with_local = part.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_local", F.row_number().over(w_in)
+    )
+    counts = with_local.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+    return (
+        with_local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .withColumn(name, (F.col("_local") - 1 + F.col("_off") + F.lit(base)).cast("long"))
+        .drop("_pid", "_local")
+    )
