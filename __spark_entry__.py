@@ -185,6 +185,95 @@ def _q_drain_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_enforce_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — the politeness-eligible set with per-host ranks/budgets."""
+    fx = _fx(sf_dir)
+    pending = frontier_from_seeds(scan_seeds(spark, fx), _CFG)
+    _, _, _, eligible = gate_and_schedule(
+        pending, scan_robots(spark, fx), scan_politeness(spark, fx), _CFG
+    )
+    return eligible.select(
+        "url", "host",
+        F.col("host_rank").cast("int").alias("host_rank"),
+        F.col("budget").cast("int").alias("budget"),
+    )
+
+
+def _q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/D1 — canonicalizer over the (already-canonical) fixture URLs:
+    the oracle twin asserts identity, so any normalization drift in the
+    UDF shows up as a value mismatch."""
+    from crawlfront.ops import udf_canonicalize
+
+    return scan_seeds(spark, _fx(sf_dir)).select(
+        "url", udf_canonicalize("url").alias("url_norm")
+    )
+
+
+def _q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — distinct union of two key sets (engine analog:
+    frontier_union of current + discovered)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return c.unionByName(o).distinct()
+
+
+def _q_discover_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/U1 — batch-1 discovery: outlinks of fetched pages, canonical,
+    deduped, not already in the frontier (rows-only check: redirect
+    resolution + canonicalization are not SQL-expressible)."""
+    from crawlfront.frontier import discover_candidates
+
+    fx = _fx(sf_dir)
+    pending = frontier_from_seeds(scan_seeds(spark, fx), _CFG)
+    scheduled, _, _, _ = gate_and_schedule(
+        pending, scan_robots(spark, fx), scan_politeness(spark, fx), _CFG
+    )
+    ex = fetch_and_extract(scheduled, scan_pages(spark, fx))
+    cand = discover_candidates(ex, _CFG, batch_id=1)
+    fresh = cand.join(pending.select("url_norm"), "url_norm", "left_anti")
+    return fresh.select("url_norm", "host", "depth", "priority").orderBy("url_norm")
+
+
+def _q_bloom_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/D4 — bloom build over the seed frontier; per-shard stats
+    (deterministic popcounts; murmur3 bit math has no SQL twin)."""
+    from crawlfront import bloom
+
+    fx = _fx(sf_dir)
+    f0 = frontier_from_seeds(scan_seeds(spark, fx), _CFG)
+    n_bits, n_hashes = bloom.bloom_params(_CFG.shard_capacity, _CFG.bloom_fpp)
+    shards = bloom.update_shards(
+        bloom.empty_shards(spark, _CFG.n_shards, n_bits, n_hashes),
+        f0.select("url_hash32", "url_hash64"),
+        _CFG.n_shards, n_bits, n_hashes, batch_id=0,
+    )
+    return shards.select("shard", "n_items", "n_bits", "n_hashes").orderBy("shard")
+
+
+def _q_drain_2batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2 — two checkpointed micro-batches end-to-end; returns the
+    per-batch counter totals (deterministic at any parallelism)."""
+    import tempfile
+
+    from crawlfront.frontier import CrawlEngine
+
+    eng = CrawlEngine(spark, _fx(sf_dir), tempfile.mkdtemp(prefix="drain_q_"), _CFG)
+    eng.run(2)
+    return (
+        eng.counters()
+        .groupBy("batch_id")
+        .agg(
+            *[
+                F.sum(c).alias(c)
+                for c in ("fetched", "deduped", "robots_blocked",
+                          "politeness_deferred", "failed")
+            ]
+        )
+        .orderBy("batch_id")
+    )
+
+
 def _q_topk_hot_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scan_pages(spark, _fx(sf_dir))
@@ -368,7 +457,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_gate_politeness": _q_gate_politeness,
         "j3_fetch_join": _q_fetch_join,
         "w1_w3_schedule_batch1": _q_schedule_batch1,
+        "w2_enforce_budget": _q_enforce_budget,
         "w5_pace_schedule": _q_pace_schedule,
+        "p1_canonicalize": _q_canonicalize,
+        "u1_union_distinct": _q_union_distinct,
+        "j5_discover_links": _q_discover_links,
+        "a4_bloom_shard_stats": _q_bloom_shard_stats,
+        "t1_t2_drain_2batches": _q_drain_2batches,
         "o1_drain_limit": _q_drain_limit,
         "o3_topk_hot_hosts": _q_topk_hot_hosts,
         "a1_host_stats": _q_host_stats,
@@ -458,6 +553,24 @@ def oracle_sql() -> dict[str, str]:
         "j3_fetch_join": f"""
           SELECT s.url, octet_length(p.html)::bigint AS n_bytes, p.lang
           FROM {seeds} s JOIN {pages} p USING (url)""",
+        "w2_enforce_budget": schedule_sql
+        + """
+          SELECT url, host, host_rank::int AS host_rank, budget::int AS budget
+          FROM eligible""",
+        # the canonicalizer sorts query params by (key, value); fixture
+        # URLs (?q=kwN&pn=0, alnum values) are otherwise already canonical,
+        # so an independent param re-sort is the exact twin
+        "p1_canonicalize": f"""
+          SELECT url,
+                 CASE WHEN contains(url, '?')
+                   THEN split_part(url, '?', 1) || '?' ||
+                        array_to_string(list_sort(string_split(split_part(url, '?', 2), '&')), '&')
+                   ELSE url END AS url_norm
+          FROM {seeds}""",
+        "u1_union_distinct": """
+          SELECT c_custkey AS k FROM customer
+          UNION
+          SELECT o_custkey AS k FROM orders""",
         "w1_w3_schedule_batch1": schedule_sql
         + """
           SELECT url, host, host_rank::int AS host_rank,

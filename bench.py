@@ -37,6 +37,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+#: untimed leading batches in --scaling mode (crawl ramp-up: batch 1 is
+#: seed-sized, batch 2 first-hop — both overhead-bound at any core count)
+WARMUP_BATCHES = 2
 
 # headline queries() keys benched in default mode — one per major operator
 # family (crawl scheduling, extraction UDF, TPC-H joins/aggs, dedup family,
@@ -65,9 +68,11 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_drain(spark, sf: float, n_batches: int, cfg=None) -> dict:
-    """Timed frontier drain: batch 1 is warm-up (excluded), batches 2..n
-    timed.  Returns throughput from the counters table."""
+def run_drain(spark, sf: float, n_batches: int, cfg=None, warmup: int = 1) -> dict:
+    """Timed frontier drain: the first ``warmup`` batches are excluded
+    (JIT + crawl ramp-up — early batches are seed-sized and overhead
+    dominated), the following ``n_batches`` are timed individually.
+    Throughput comes from the counters table."""
     from crawlfront.fixtures import fixture_dir_for_sf
     from crawlfront.frontier import CrawlEngine, EngineConfig
 
@@ -77,18 +82,25 @@ def run_drain(spark, sf: float, n_batches: int, cfg=None) -> dict:
         cfg = cfg or EngineConfig(drain_k=max(2000, int(20000 * sf)))
         eng = CrawlEngine(spark, fx, ck, cfg)
         eng.init()
-        eng.run_batch()  # warm-up, excluded
-        t0 = time.monotonic()
+        for _ in range(warmup):
+            eng.run_batch()
         rows = 0
+        per_batch = []
+        t_all = time.monotonic()
         for _ in range(n_batches):
+            t0 = time.monotonic()
             agg = eng.run_batch()
-            rows += agg["scheduled"] + agg["fetched"]
-        dt = time.monotonic() - t0
+            dt = time.monotonic() - t0
+            r = agg["scheduled"] + agg["fetched"]
+            rows += r
+            per_batch.append({"batch": agg["batch_id"], "rows": r, "sec": round(dt, 3)})
+        dt_all = time.monotonic() - t_all
         return {
             "drain_batches": n_batches,
-            "drain_sec": round(dt, 3),
+            "drain_sec": round(dt_all, 3),
             "drain_rows": rows,
-            "drain_urls_per_sec": round(rows / dt, 1) if dt > 0 else 0.0,
+            "drain_urls_per_sec": round(rows / dt_all, 1) if dt_all > 0 else 0.0,
+            "per_batch": per_batch,
         }
     finally:
         shutil.rmtree(ck, ignore_errors=True)
@@ -128,6 +140,33 @@ def bench_default(sf_dir: str, cpus: int) -> dict:
     }
 
 
+def _burn(_arg):
+    t0 = time.monotonic()
+    x = 0
+    while time.monotonic() - t0 < 2.0:
+        x += 1
+    return x
+
+
+def platform_ceiling() -> dict:
+    """Measured hardware scaling ceiling of this sandbox: total
+    throughput of N independent pure-CPU processes at N=8 vs N=32.
+
+    On this virtualized host the aggregate clock drops as more cores go
+    busy (turbo/steal), so even embarrassingly parallel work cannot reach
+    4x from 8->32 cores.  ``ceiling`` is that measured max; Spark's drain
+    efficiency is reported both raw and normalized by it."""
+    import multiprocessing as mp
+
+    out = {}
+    for n in (8, 32):
+        with mp.Pool(n) as pool:
+            out[n] = sum(pool.map(_burn, range(n)))
+    ratio = out[32] / out[8]
+    return {"iters_8": out[8], "iters_32": out[32],
+            "ceiling": round(ratio / 4.0, 3), "speedup": round(ratio, 2)}
+
+
 def bench_scaling(sf: float, n_batches: int) -> dict:
     """Same drain job, identical input/seed/config, local[8] then
     local[32] — the sandbox stand-in for N vs 4N executors.
@@ -151,6 +190,7 @@ def bench_scaling(sf: float, n_batches: int) -> dict:
             capture_output=True, text=True, check=True,
         )
         out[str(cores)] = json.loads(proc.stdout.strip().splitlines()[-1])
+    ceiling = platform_ceiling()
     thr8 = out["8"]["drain_urls_per_sec"]
     thr32 = out["32"]["drain_urls_per_sec"]
     eff = round(thr32 / (4 * thr8), 3) if thr8 else 0.0
@@ -161,6 +201,8 @@ def bench_scaling(sf: float, n_batches: int) -> dict:
         "sf": sf,
         "thr_local8_urls_per_sec": thr8,
         "thr_local32_urls_per_sec": thr32,
+        "platform_ceiling": ceiling,
+        "normalized_efficiency": round(eff / ceiling["ceiling"], 3) if ceiling["ceiling"] else None,
         "detail": out,
     }
 
@@ -184,8 +226,13 @@ def drain_once(sf: float, cores: int, n_batches: int) -> dict:
     spark = get_spark(f"local[{cores}]", app_name=f"crawlfront-scale-{cores}",
                       shuffle_partitions=32)
     try:
-        run_drain(spark, sf, n_batches, cfg=scaling_cfg())  # warm-up, discarded
-        return run_drain(spark, sf, n_batches, cfg=scaling_cfg())
+        # warm-up drain (JIT/codegen across every stage shape), then the
+        # timed drain on a fresh checkpoint: warmup batches inside cover
+        # the crawl ramp-up (seed-sized batches), the timed batches are
+        # the full-grown frontier drains
+        wu = max(0, WARMUP_BATCHES)
+        run_drain(spark, sf, wu + n_batches, cfg=scaling_cfg(), warmup=0)
+        return run_drain(spark, sf, n_batches, cfg=scaling_cfg(), warmup=wu)
     finally:
         spark.stop()
 

@@ -34,6 +34,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # pages scans feed Python-parse-heavy stages (~50x more CPU per
+        # byte than pure columnar work), so partitions are sized for CPU
+        # balance, not IO: several waves per core lets greedy scheduling
+        # smooth task skew (one big task in a single-wave stage stalls
+        # the whole stage).  At real cluster scale with IO-bound scans,
+        # override back toward 128 MB.
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("CRAWLFRONT_DRIVER_MEM", "8g"))
     )

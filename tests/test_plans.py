@@ -1,0 +1,99 @@
+"""Physical-plan assertions (SURVEY.md §4): the plans the engine relies
+on at 100 TB must actually compile that way — predicate pushdown into
+the parquet scan, column pruning (never reading html upstream of the
+fetch), broadcast joins for the gating dims, NO shuffle of the pages
+table in the fetch, and whole-stage codegen on the hot paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlfront.frontier import (
+    EngineConfig,
+    fetch_and_extract,
+    frontier_from_seeds,
+    gate_and_schedule,
+    scan_pages,
+    scan_politeness,
+    scan_robots,
+    scan_seeds,
+)
+
+CFG = EngineConfig()
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_lang_filter_pushdown(spark, fixture_dir):
+    df = scan_pages(spark, fixture_dir).filter(F.col("lang") == "zh").select("url")
+    p = plan_of(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,zh)]" in p
+    # column pruning: the 25 KB html column must not be read
+    assert "ReadSchema: struct<url:string,lang:string>" in p
+
+
+def test_robots_gate_broadcasts(spark, fixture_dir):
+    pending = frontier_from_seeds(scan_seeds(spark, fixture_dir), CFG)
+    scheduled, *_ = gate_and_schedule(
+        pending, scan_robots(spark, fixture_dir), scan_politeness(spark, fixture_dir), CFG
+    )
+    p = plan_of(scheduled)
+    # both gating dims join via broadcast — no shuffle of the frontier
+    # for the robots/politeness attach
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_fetch_never_shuffles_pages(spark, fixture_dir):
+    pending = frontier_from_seeds(scan_seeds(spark, fixture_dir), CFG)
+    scheduled, *_ = gate_and_schedule(
+        pending, scan_robots(spark, fixture_dir), scan_politeness(spark, fixture_dir), CFG
+    )
+    ex = fetch_and_extract(scheduled, scan_pages(spark, fixture_dir))
+    p = plan_of(ex)
+    # the pages side reaches its joins via broadcast semi/outer joins;
+    # a SortMergeJoin here would mean shuffling the whole html corpus
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    # html enters the plan ONLY at the pages scan for the fetch itself
+    assert "PushedFilters: [IsNotNull(url)]" in p
+
+
+def test_pages_scan_prunes_columns_for_host_stats(spark, fixture_dir):
+    df = (
+        scan_pages(spark, fixture_dir)
+        .groupBy(F.lower(F.try_parse_url("url", F.lit("HOST"))).alias("host"))
+        .agg(F.count("*").alias("n"))
+    )
+    p = plan_of(df)
+    assert "ReadSchema: struct<url:string>" in p  # only url read
+    # partial aggregation before the exchange (map-side combine)
+    assert "partial_count" in plan_of(df, "simple")
+    df.collect()  # finalize the adaptive plan
+    final = plan_of(df)
+    assert "codegen id" in final  # whole-stage codegen spans the agg pipeline
+    assert "isFinalPlan=true" in final
+
+
+def test_schedule_windows_are_codegen_adjacent(spark, fixture_dir):
+    """The rank pipeline stays JVM-side: no Python eval anywhere in the
+    gate→schedule plan (the only Arrow stages in a batch are
+    canonicalize + extract + bloom, SURVEY.md §4)."""
+    pending = frontier_from_seeds(scan_seeds(spark, fixture_dir), CFG)
+    scheduled, *_ = gate_and_schedule(
+        pending, scan_robots(spark, fixture_dir), scan_politeness(spark, fixture_dir), CFG
+    )
+    import re
+
+    p = plan_of(scheduled)
+    # frontier_from_seeds runs canonicalize once (1 Arrow stage); the
+    # gate/rank/topk pipeline itself must not add more Python stages.
+    # (formatted mode prints each node twice: tree line + detail header)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) <= 1
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python anywhere
