@@ -36,7 +36,7 @@ import json
 from dataclasses import dataclass
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import bloom
@@ -224,12 +224,18 @@ def fetch_and_extract(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
     wanted = pages.select("url", "html").join(
         F.broadcast(scheduled.select("url")), "url", "left_semi"
     )
-    fetched = scheduled.join(wanted, "url", "left")
-    return (
-        fetched.withColumn("hit", F.col("html").isNotNull())
+    # extract BEFORE the join-back: the UDF runs inside the scan stage
+    # (no shuffle upstream of it), and the join then exchanges extracted
+    # text instead of raw html — roughly half the shuffle bytes when a
+    # mega-batch fetches most of the corpus
+    extracted = (
+        wanted.filter(F.col("html").isNotNull())
         .withColumn("ex", udf_extract("html", "url"))
         .drop("html")
     )
+    fetched = scheduled.join(extracted, "url", "left")
+    # a miss (url absent from pages, or null html) is a fetch failure
+    return fetched.withColumn("hit", F.col("ex").isNotNull())
 
 
 def results_from_extract(ex: DataFrame, batch_id: int) -> DataFrame:
@@ -315,7 +321,14 @@ class CrawlEngine:
         return self._read("frontier", FRONTIER_SCHEMA)
 
     def seen_keys(self) -> DataFrame:
-        return self._read("seen_keys", SEEN_KEYS_SCHEMA)
+        """Union of the committed per-batch key appends (append-only —
+        the write per batch is O(new keys), not O(all history))."""
+        man = self.ckpt.manifest() or {}
+        paths = [self.ckpt.append_dir("seen_keys", sb)
+                 for sb in man.get("seen_batches", [])]
+        if not paths:
+            return self.spark.createDataFrame([], SEEN_KEYS_SCHEMA)
+        return self.spark.read.schema(SEEN_KEYS_SCHEMA).parquet(*paths)
 
     def shards(self) -> DataFrame:
         return self._read("url_seen", URL_SEEN_SHARDS_SCHEMA)
@@ -342,7 +355,7 @@ class CrawlEngine:
         self._write_snapshot(f0, "frontier", 0, partition_key("host_hash", "salt", cfg.n_partitions))
         f0c = self.spark.read.schema(FRONTIER_SCHEMA).parquet(self.ckpt.snapshot_dir("frontier", 0))
         seen0 = f0c.select("url_norm", "url_hash64")
-        self._write_snapshot(seen0, "seen_keys", 0)
+        seen0.write.mode("overwrite").parquet(self.ckpt.append_dir("seen_keys", 0))
         shards0 = bloom.update_shards(
             bloom.empty_shards(self.spark, cfg.n_shards, self._n_bits, self._n_hashes),
             f0c.select("url_hash32", "url_hash64"),
@@ -350,8 +363,8 @@ class CrawlEngine:
         )
         self._write_snapshot(shards0, "url_seen", 0)
         self.ckpt.commit(
-            0, {"frontier": 0, "seen_keys": 0, "url_seen": 0},
-            extra={"next_idx": 0}, append_batch=False,
+            0, {"frontier": 0, "url_seen": 0},
+            extra={"next_idx": 0, "seen_batches": [0]}, append_batch=False,
         )
 
     # --- one micro-batch ---
@@ -385,6 +398,10 @@ class CrawlEngine:
         scheduled, blocked, allowed, eligible = gate_and_schedule(
             pending, robots, politeness, cfg, base_idx
         )
+        # S7: in-flight scheduled-count via observe — measured during the
+        # first materialization, no separate count job
+        obs = Observation(f"batch-{b}")
+        scheduled = scheduled.observe(obs, F.count(F.lit(1)).alias("n_scheduled"))
         scheduled = scheduled.persist()
         blocked = blocked.persist()
         allowed = allowed.persist()
@@ -441,9 +458,10 @@ class CrawlEngine:
         self._write_snapshot(new_frontier, "frontier", b, pk)
         _mark("frontier_write")
 
-        # seen_keys + bloom shards
-        new_seen = self.seen_keys().unionByName(new_rows.select("url_norm", "url_hash64"))
-        self._write_snapshot(new_seen, "seen_keys", b)
+        # seen_keys (append-only: O(new) write) + bloom shards
+        new_rows.select("url_norm", "url_hash64").write.mode("overwrite").parquet(
+            self.ckpt.append_dir("seen_keys", b)
+        )
         shards2 = bloom.update_shards(
             self.shards(), new_rows.select("url_hash32", "url_hash64"),
             cfg.n_shards, self._n_bits, self._n_hashes, batch_id=b,
@@ -458,63 +476,55 @@ class CrawlEngine:
                 "batch": b,
                 "frontier_in": f"frontier/snap-{b - 1}",
                 "frontier_out": f"frontier/snap-{b}",
-                "seen_in": f"seen_keys/snap-{b - 1}",
-                "seen_out": f"seen_keys/snap-{b}",
+                "seen_in": f"seen_keys/batch<={b - 1}",
+                "seen_out": f"seen_keys/batch={b}",
                 "url_seen_out": f"url_seen/snap-{b}",
                 "results_out": f"results/batch={b}",
             },
             sort_keys=True,
         )
 
-        def per_pk(df: DataFrame, name: str) -> DataFrame:
-            return df.groupBy(pk.alias("partition_id")).agg(F.count("*").alias(name))
+        # single-pass counters: tag every counted row with its kind, ONE
+        # shuffle (groupBy partition + pivot over the fixed kind list)
+        # instead of five aggregations joined four ways — all inputs are
+        # already persisted above
+        def tagged(df: DataFrame, kind: str) -> DataFrame:
+            return df.select(pk.alias("partition_id"), F.lit(kind).alias("kind"))
 
-        fetched_c = per_pk(ex.filter(F.col("hit")), "fetched")
-        failed_c = per_pk(
-            ex.filter(~F.col("hit") & (F.col("retry_count") + 1 >= cfg.max_retries)),
-            "failed",
+        kinds = ["fetched", "failed", "robots_blocked", "n_allowed",
+                 "n_eligible", "deduped"]
+        events = (
+            tagged(ex.filter(F.col("hit")), "fetched")
+            .unionByName(tagged(
+                ex.filter(~F.col("hit") & (F.col("retry_count") + 1 >= cfg.max_retries)),
+                "failed"))
+            .unionByName(tagged(blocked, "robots_blocked"))
+            .unionByName(tagged(allowed, "n_allowed"))
+            .unionByName(tagged(eligible, "n_eligible"))
+            .unionByName(tagged(cand.join(new_norms, "url_norm", "left_anti"), "deduped"))
         )
-        blocked_c = per_pk(blocked, "robots_blocked")
-        deferred_c = (
-            per_pk(allowed, "n_allowed")
-            .join(per_pk(eligible, "n_eligible"), "partition_id", "full")
-            .select(
-                "partition_id",
-                (
-                    F.coalesce(F.col("n_allowed"), F.lit(0))
-                    - F.coalesce(F.col("n_eligible"), F.lit(0))
-                ).alias("politeness_deferred"),
-            )
-        )
-        deduped_c = per_pk(
-            cand.join(new_norms, "url_norm", "left_anti"), "deduped"
-        )
-        counters = (
-            fetched_c.join(deduped_c, "partition_id", "full")
-            .join(blocked_c, "partition_id", "full")
-            .join(deferred_c, "partition_id", "full")
-            .join(failed_c, "partition_id", "full")
-            .select(
-                F.lit(b).cast("long").alias("batch_id"),
-                F.col("partition_id").cast("int"),
-                *[
-                    F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
-                    for c in ("fetched", "deduped", "robots_blocked",
-                              "politeness_deferred", "failed")
-                ],
-                F.lit(lineage).alias("lineage"),
-            )
+        pivoted = events.groupBy("partition_id").pivot("kind", kinds).count().na.fill(0)
+        counters = pivoted.select(
+            F.lit(b).cast("long").alias("batch_id"),
+            F.col("partition_id").cast("int"),
+            F.col("fetched").cast("long"),
+            F.col("deduped").cast("long"),
+            F.col("robots_blocked").cast("long"),
+            (F.col("n_allowed") - F.col("n_eligible")).cast("long").alias("politeness_deferred"),
+            F.col("failed").cast("long"),
+            F.lit(lineage).alias("lineage"),
         )
         counters = counters.persist()
         counters.write.mode("overwrite").parquet(self.ckpt.append_dir("counters", b))
         _mark("counters_write")
 
-        n_scheduled = scheduled.count()
+        n_scheduled = obs.get["n_scheduled"]
 
         self.ckpt.commit(
             b,
-            {"frontier": b, "seen_keys": b, "url_seen": b},
-            extra={"next_idx": base_idx + n_scheduled},
+            {"frontier": b, "url_seen": b},
+            extra={"next_idx": base_idx + n_scheduled,
+                   "seen_batches": man.get("seen_batches", []) + [b]},
         )
         # batch summary from the (tiny, persisted) counters of THIS batch —
         # not a re-read of every committed batch dir

@@ -29,8 +29,11 @@ import json
 import os
 from pathlib import Path
 
-SNAPSHOT_TABLES = ("frontier", "seen_keys", "url_seen")
-APPEND_TABLES = ("results", "counters")
+SNAPSHOT_TABLES = ("frontier", "url_seen")
+# seen_keys is append-only: rewriting the full URL-seen key set every
+# batch is O(history) per batch — fatal at 10^10 keys.  Readers union
+# the committed per-batch append dirs (manifest key "seen_batches").
+APPEND_TABLES = ("results", "counters", "seen_keys")
 
 
 class Checkpoint:

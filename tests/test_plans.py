@@ -61,8 +61,9 @@ def test_fetch_never_shuffles_pages(spark, fixture_dir):
     # a SortMergeJoin here would mean shuffling the whole html corpus
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
-    # html enters the plan ONLY at the pages scan for the fetch itself
-    assert "PushedFilters: [IsNotNull(url)]" in p
+    # html enters the plan ONLY at the pages scan for the fetch itself,
+    # and the null-html guard is pushed into that scan
+    assert "IsNotNull(url)" in p and "IsNotNull(html)" in p
 
 
 def test_pages_scan_prunes_columns_for_host_stats(spark, fixture_dir):

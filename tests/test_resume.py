@@ -46,8 +46,10 @@ def test_crash_mid_batch_ignores_uncommitted(spark, fixture_dir):
     e.run(2)
     # simulate a crash AFTER snapshot data was written but BEFORE the
     # manifest pointer swap: orphan snapshot dirs for batch 3
-    for tbl in ("frontier", "seen_keys"):
-        orphan = Path(e.ckpt.snapshot_dir(tbl, 3))
+    for orphan in (
+        Path(e.ckpt.snapshot_dir("frontier", 3)),
+        Path(e.ckpt.append_dir("seen_keys", 3)),  # seen_keys is append-only
+    ):
         orphan.mkdir(parents=True)
         (orphan / "garbage.parquet").write_bytes(b"not parquet")
     e2 = CrawlEngine(spark, fixture_dir, t)
