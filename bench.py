@@ -148,7 +148,7 @@ def _burn(_arg):
     return x
 
 
-def platform_ceiling() -> dict:
+def platform_ceiling(cores_low: int = 8, cores_high: int = 32) -> dict:
     """Measured hardware scaling ceiling of this sandbox: total
     throughput of N independent pure-CPU processes at N=8 vs N=32.
 
@@ -159,15 +159,17 @@ def platform_ceiling() -> dict:
     import multiprocessing as mp
 
     out = {}
-    for n in (8, 32):
+    for n in (cores_low, cores_high):
         with mp.Pool(n) as pool:
             out[n] = sum(pool.map(_burn, range(n)))
-    ratio = out[32] / out[8]
-    return {"iters_8": out[8], "iters_32": out[32],
-            "ceiling": round(ratio / 4.0, 3), "speedup": round(ratio, 2)}
+    ratio = out[cores_high] / out[cores_low]
+    factor = cores_high / cores_low
+    return {f"iters_{cores_low}": out[cores_low], f"iters_{cores_high}": out[cores_high],
+            "ceiling": round(ratio / factor, 3), "speedup": round(ratio, 2)}
 
 
-def bench_scaling(sf: float, n_batches: int) -> dict:
+def bench_scaling(sf: float, n_batches: int, cores_low: int = 8,
+                  cores_high: int = 32) -> dict:
     """Same drain job, identical input/seed/config, local[8] then
     local[32] — the sandbox stand-in for N vs 4N executors.
 
@@ -180,7 +182,7 @@ def bench_scaling(sf: float, n_batches: int) -> dict:
     import subprocess
 
     out: dict[str, dict] = {}
-    for cores in (8, 32):
+    for cores in (cores_low, cores_high):
         # EACH level in a FRESH subprocess: reusing one driver JVM lets
         # the second run inherit JIT-compiled codegen from the first,
         # which inflates its throughput (observed 2x super-linear).
@@ -190,17 +192,18 @@ def bench_scaling(sf: float, n_batches: int) -> dict:
             capture_output=True, text=True, check=True,
         )
         out[str(cores)] = json.loads(proc.stdout.strip().splitlines()[-1])
-    ceiling = platform_ceiling()
-    thr8 = out["8"]["drain_urls_per_sec"]
-    thr32 = out["32"]["drain_urls_per_sec"]
-    eff = round(thr32 / (4 * thr8), 3) if thr8 else 0.0
+    factor = cores_high / cores_low
+    ceiling = platform_ceiling(cores_low, cores_high)
+    thr_lo = out[str(cores_low)]["drain_urls_per_sec"]
+    thr_hi = out[str(cores_high)]["drain_urls_per_sec"]
+    eff = round(thr_hi / (factor * thr_lo), 3) if thr_lo else 0.0
     return {
-        "metric": "scaling_efficiency_local8_to_local32",
+        "metric": f"scaling_efficiency_local{cores_low}_to_local{cores_high}",
         "value": eff,
         "unit": "ratio",
         "sf": sf,
-        "thr_local8_urls_per_sec": thr8,
-        "thr_local32_urls_per_sec": thr32,
+        f"thr_local{cores_low}_urls_per_sec": thr_lo,
+        f"thr_local{cores_high}_urls_per_sec": thr_hi,
         "platform_ceiling": ceiling,
         "normalized_efficiency": round(eff / ceiling["ceiling"], 3) if ceiling["ceiling"] else None,
         "detail": out,
@@ -247,11 +250,13 @@ def main() -> int:
     ap.add_argument("--batches", type=int, default=3)
     ap.add_argument("--sf", type=float, default=0.1,
                     help="crawl-fixture scale for --scaling mode")
+    ap.add_argument("--cores-low", type=int, default=8)
+    ap.add_argument("--cores-high", type=int, default=32)
     args = ap.parse_args()
     if args.drain_once:
         result = drain_once(args.sf, args.cpus, args.batches)
     elif args.scaling:
-        result = bench_scaling(args.sf, args.batches)
+        result = bench_scaling(args.sf, args.batches, args.cores_low, args.cores_high)
     else:
         result = bench_default(args.sf_dir, args.cpus)
     print(json.dumps(result))
