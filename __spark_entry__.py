@@ -274,6 +274,18 @@ def _q_drain_2batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_refresh_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 entry point (2) — recompute politeness from frontier
+    pressure: hot hosts get the reduced budget unless explicitly set."""
+    from crawlfront.frontier import refresh_gates
+
+    fx = _fx(sf_dir)
+    pending = frontier_from_seeds(scan_seeds(spark, fx), _CFG)
+    new_pol, _ = refresh_gates(pending, scan_politeness(spark, fx), _CFG,
+                               n_hot=10, hot_budget=2)
+    return new_pol
+
+
 def _q_topk_hot_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scan_pages(spark, _fx(sf_dir))
@@ -465,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_bloom_shard_stats": _q_bloom_shard_stats,
         "t1_t2_drain_2batches": _q_drain_2batches,
         "o1_drain_limit": _q_drain_limit,
+        "refresh_gates": _q_refresh_gates,
         "o3_topk_hot_hosts": _q_topk_hot_hosts,
         "a1_host_stats": _q_host_stats,
         "a3_cardinality": _q_cardinality,
@@ -587,6 +600,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, (row_number() OVER (ORDER BY priority, seed_rank, host_rank, host, url) - 1)::bigint AS schedule_idx
             FROM eligible)
           SELECT url, schedule_idx FROM sched ORDER BY schedule_idx LIMIT 20""",
+        "refresh_gates": f"""
+          WITH stats AS (
+            SELECT {_HOST_SQL} AS host, count(DISTINCT url) AS n
+            FROM {seeds} GROUP BY 1),
+          hot AS (SELECT host FROM stats ORDER BY n DESC, host ASC LIMIT 10),
+          hot_pol AS (
+            SELECT h.host, coalesce(p.budget, 2)::int AS budget
+            FROM hot h LEFT JOIN {politeness} p USING (host))
+          SELECT host, budget FROM hot_pol
+          UNION ALL
+          SELECT host, budget::int AS budget FROM {politeness}
+          WHERE host NOT IN (SELECT host FROM hot)""",
         "o3_topk_hot_hosts": f"""
           SELECT {_HOST_SQL} AS host, count(*) AS n_pages FROM {pages}
           GROUP BY 1 ORDER BY n_pages DESC, host ASC LIMIT 10""",

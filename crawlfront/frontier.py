@@ -284,6 +284,31 @@ def discover_candidates(ex: DataFrame, cfg: EngineConfig, batch_id: int) -> Data
     ).select(*FRONTIER_COLS)
 
 
+def refresh_gates(pending: DataFrame, politeness: DataFrame, cfg: EngineConfig,
+                  n_hot: int = 10, hot_budget: int = 2):
+    """SURVEY.md §3.2 entry point (2) — the proxy-pool-refresh analog:
+    recompute the gating tables from frontier pressure (A1/O3 stats).
+
+    Returns ``(new_politeness, hot_hosts)``:
+    - ``hot_hosts``: top-``n_hot`` hosts by pending count (deterministic
+      total order: count desc, host asc) — the salt-candidate list; the
+      frontier's salt column spreads exactly these hosts' rows across
+      partitions.
+    - ``new_politeness``: explicit budgets are preserved; hot hosts
+      WITHOUT an explicit budget get ``hot_budget`` (pressure-triggered
+      pacing, like the reference demoting a banned proxy); everything
+      else keeps the default implicitly.
+    """
+    stats = pending.groupBy("host").agg(F.count("*").alias("n_pending"))
+    hot = stats.orderBy(F.desc("n_pending"), F.asc("host")).limit(n_hot)
+    hot_pol = hot.join(F.broadcast(politeness), "host", "left").select(
+        "host",
+        F.coalesce(F.col("budget"), F.lit(hot_budget)).cast("int").alias("budget"),
+    )
+    rest_pol = politeness.join(F.broadcast(hot.select("host")), "host", "left_anti")
+    return hot_pol.unionByName(rest_pol), hot
+
+
 # --- the engine ------------------------------------------------------------
 
 
