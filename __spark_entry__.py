@@ -552,7 +552,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
-        "s1_scan_pages": f"SELECT lang, count(*) AS n_pages, sum(length(text)) AS total_chars FROM {pages} GROUP BY lang",
+        # ::bigint — DuckDB's sum() of an integer column widens to HUGEINT,
+        # which value-hash-mismatches Spark's BIGINT (VERDICT r1 item 1)
+        "s1_scan_pages": f"SELECT lang, count(*) AS n_pages, sum(length(text))::bigint AS total_chars FROM {pages} GROUP BY lang",
         "p2_extract_host": f"SELECT url, {_HOST_SQL} AS host FROM {pages}",
         "p3_lang_filter": f"SELECT url, lang FROM {pages} WHERE lang = 'zh'",
         "p6_valid_page": f"SELECT url, octet_length(html)::bigint AS n_bytes FROM {pages} WHERE html IS NOT NULL AND octet_length(html) < 1000000",

@@ -266,7 +266,6 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 5,
     the full corpus — the exact baseline every ANN variant is judged
     against.  Ranks are total-ordered (sim desc, vec_id asc)."""
     emb = _read(spark, sf_dir, "embeddings", parallel=True).select("vec_id", "embedding")
-    w = Window.orderBy("vec_id")
     queries = (
         emb.orderBy("vec_id").limit(n_queries)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))

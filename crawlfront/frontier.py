@@ -209,20 +209,28 @@ def gate_and_schedule(
     return scheduled, blocked, allowed, eligible
 
 
-def fetch_and_extract(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
+def fetch_and_extract(scheduled: DataFrame, pages: DataFrame,
+                      bounded: bool = True) -> DataFrame:
     """J3 + D3: resolve each scheduled URL to its page bytes, run the
     extraction UDF.  Left join — a miss is a fetch failure (retry path).
 
-    Join strategy (SURVEY.md §4): the scheduled URL LIST is tiny (capped
-    at drain_k) while pages carries the wide ``html`` column, so the urls
-    are broadcast for a semi-join prefilter of pages — the full corpus is
-    scanned but never SHUFFLED (no 100-TB html exchange; a plain SMJ here
-    shuffles the whole pages table every batch).  The surviving ≤drain_k
-    pages then left-join back to scheduled; AQE sees the pruned size at
-    runtime and picks broadcast.  ``html`` is projected only here, never
-    upstream (column-pruning design rule)."""
+    Join strategy (SURVEY.md §4): when the drain is BOUNDED the scheduled
+    URL LIST is tiny (capped at drain_k) while pages carries the wide
+    ``html`` column, so the urls are broadcast for a semi-join prefilter
+    of pages — the full corpus is scanned but never SHUFFLED (no 100-TB
+    html exchange; a plain SMJ here shuffles the whole pages table every
+    batch).  With ``bounded=False`` (EngineConfig.unbounded_drain) the
+    scheduled set is the whole eligible frontier slice and CANNOT be
+    broadcast (at 10^10 scale it exceeds Spark's 8 GB BroadcastExchange
+    limit and OOMs the driver), so no hint is applied: AQE picks the
+    strategy at runtime, and the scale path is the bucketed pages table
+    (see fetch_bucketed / storage.write_bucketed_pages) where the
+    semi-join is an exchange-free SMJ on the pages side.  The surviving
+    pages then left-join back to scheduled; ``html`` is projected only
+    here, never upstream (column-pruning design rule)."""
+    urls = scheduled.select("url")
     wanted = pages.select("url", "html").join(
-        F.broadcast(scheduled.select("url")), "url", "left_semi"
+        F.broadcast(urls) if bounded else urls, "url", "left_semi"
     )
     # extract BEFORE the join-back: the UDF runs inside the scan stage
     # (no shuffle upstream of it), and the join then exchanges extracted
@@ -393,7 +401,7 @@ class CrawlEngine:
         )
 
     # --- one micro-batch ---
-    def run_batch(self) -> dict:
+    def run_batch(self, extra_manifest: dict | None = None) -> dict:
         import time as _time
 
         cfg = self.cfg
@@ -432,7 +440,8 @@ class CrawlEngine:
         allowed = allowed.persist()
         eligible = eligible.persist()
         pages = scan_pages(self.spark, self.fixture_dir)
-        ex = fetch_and_extract(scheduled, pages).persist()
+        ex = fetch_and_extract(scheduled, pages,
+                               bounded=not cfg.unbounded_drain).persist()
 
         # results sink (S5)
         results = results_from_extract(ex, b)
@@ -549,7 +558,8 @@ class CrawlEngine:
             b,
             {"frontier": b, "url_seen": b},
             extra={"next_idx": base_idx + n_scheduled,
-                   "seen_batches": man.get("seen_batches", []) + [b]},
+                   "seen_batches": man.get("seen_batches", []) + [b],
+                   **(extra_manifest or {})},
         )
         # batch summary from the (tiny, persisted) counters of THIS batch —
         # not a re-read of every committed batch dir

@@ -13,10 +13,12 @@ Layout::
       manifest.json                 # atomic pointer: current batch + table→snapshot
       manifests/manifest-<b>.json   # history (time travel / lineage)
       frontier/snap-<b>/*.parquet
-      seen_keys/snap-<b>/*.parquet
       url_seen/snap-<b>/*.parquet   # bloom shards
       results/batch=<b>/*.parquet   # append-only, manifest lists valid batches
       counters/batch=<b>/*.parquet
+      seen_keys/batch=<b>/*.parquet # append-only (O(new keys)/batch); the
+                                    # manifest key "seen_batches" lists the
+                                    # committed appends readers may union
 
 Resume = read manifest, bind scans to pinned snapshots; snapshot dirs not
 referenced by any manifest are uncommitted garbage and ignored

@@ -68,9 +68,23 @@ def run_streaming(
     stats: list[dict] = []
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        # one engine micro-batch per non-empty tick micro-batch
-        if batch_df.count() > 0:
-            stats.append(engine.run_batch())
+        # one engine micro-batch per tick.  foreachBatch is at-least-once:
+        # a crash after the engine manifest commit but before the stream
+        # epoch commit replays the tick on restart, and the file source
+        # may deliver tick files in any order — so each processed tick id
+        # is recorded IN the engine manifest, atomically with that batch's
+        # commit, and a replayed tick is skipped.  This keeps the
+        # tick→batch mapping exactly 1:1 under replay (T2 equivalence).
+        ticks = [r["tick"] for r in batch_df.select("tick").collect()]
+        man = engine.ckpt.manifest() or {}
+        done = set(man.get("ticks_done", []))
+        for tick in sorted(ticks):
+            if tick in done:
+                continue
+            done.add(tick)
+            stats.append(
+                engine.run_batch(extra_manifest={"ticks_done": sorted(done)})
+            )
 
     ticks = (
         spark.readStream.schema(TICK_SCHEMA)

@@ -48,6 +48,21 @@ def test_streaming_wrapper_resumes(spark, tmp_path):
     assert stats2 == all_stats[1:]
 
 
+def test_streaming_tick_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: wipe the STREAM checkpoint (forcing
+    every tick to replay) while keeping the engine manifest — replayed
+    ticks must be skipped, not run as extra frontier batches."""
+    import shutil
+
+    d = tmp_path / "s"
+    run_streaming(spark, SF_DIR, d, n_batches=2)
+    shutil.rmtree(d / "_stream_ckpt")
+    stats = run_streaming(spark, SF_DIR, d, n_batches=2)
+    assert stats == []  # every tick replayed, none re-run
+    eng = CrawlEngine(spark, SF_DIR, d)
+    assert eng.ckpt.current_batch() == 2
+
+
 def _stream_rows(spark, tmp_path, rows, schema, name):
     d = tmp_path / name
     d.mkdir()
