@@ -351,6 +351,27 @@ def _q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_throughput_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — tumbling event-time windows via ``F.window`` (the SURVEY §2
+    cat.9 promise): per-6h-window crawl throughput (pages + bytes) over
+    the pages table.  Epoch-aligned windows ⇒ DuckDB ``time_bucket`` is
+    the exact twin (both bucket from an origin divisible by 6h)."""
+    return (
+        scan_pages(spark, _fx(sf_dir))
+        .groupBy(F.window("warc_ts", "6 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("html")).cast("long").alias("total_bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_pages",
+            "total_bytes",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # driver-table queries (events / TPC-H-ish / embeddings)
 # --------------------------------------------------------------------------
@@ -484,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_x3_hash_partition": _q_hash_partition,
         "d3_extract_text_invariant": _q_extract_text_invariant,
         "x6_time_buckets": _q_time_buckets,
+        "t4_throughput_windows": _q_throughput_windows,
         # driver tables: json/window/joins/aggs/set ops/arrays
         "x9_json_props": _q_json_props,
         "j6_asof_latest": _q_asof_latest,
@@ -513,6 +535,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _phash_sql(expr: str) -> str:
+    """DuckDB twin of analytics.portable_hash64: first 15 hex chars of
+    md5 as a (non-negative) int64."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::bigint"
+
+
 def oracle_sql() -> dict[str, str]:
     # pages is a directory of part files (parallel-scan layout) — DuckDB
     # reads it via glob; row order across files follows the part numbering
@@ -535,6 +563,72 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY length(r.prefix) DESC, r.prefix LIMIT 1), TRUE) AS allow
           FROM s)
         """
+
+    # ---- generated SQL for the portable-hash dedup twins ----------------
+    from crawlfront.analytics import SIMHASH_BAND_BITS, SIMHASH_BANDS, SIMHASH_BITS
+
+    # minhash: 32 permutations simulated by i-prefixed portable hashes
+    minhash_exprs = ",\n                 ".join(
+        "list_min(list_transform(shl, s -> {h})) AS h{i}".format(
+            h=_phash_sql(f"'{i}|' || s"), i=i
+        )
+        for i in range(32)
+    )
+    minhash_bands = "\n          UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(f"h{b * 4 + j}::varchar" for j in range(4))
+        + " AS key FROM sig"
+        for b in range(8)
+    )
+    # the shared shingle CTE (3-word shingles, non-distinct — min() is
+    # duplicate-insensitive, matching analytics._shingles + explode)
+    minhash_prefix = f"""
+          WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(len(toks) - 2),
+                                       j -> array_to_string(toks[j + 1 : j + 3], ' '))
+                   ELSE [array_to_string(toks, ' ')] END AS shl
+                 FROM t),
+          sig AS (SELECT doc_id,
+                 {minhash_exprs}
+                 FROM sh),
+          banded AS ({minhash_bands})"""
+
+    # simhash: 60 per-bit ±1 votes over per-token portable hashes
+    simhash_votes = ",\n                 ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    simhash_fp = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {2**i}::bigint ELSE 0::bigint END"
+        for i in range(SIMHASH_BITS)
+    )
+    band_mask = (1 << SIMHASH_BAND_BITS) - 1
+    simhash_bands = "\n          UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band, "
+        f"(simhash >> {SIMHASH_BAND_BITS * j}) & {band_mask} AS key FROM fp"
+        for j in range(SIMHASH_BANDS)
+    )
+    simhash_prefix = f"""
+          WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          hh AS (SELECT doc_id, {_phash_sql('tok')} AS h FROM tk),
+          v AS (SELECT doc_id,
+                 {simhash_votes}
+                 FROM hh GROUP BY doc_id),
+          fp AS (SELECT doc_id, ({simhash_fp})::bigint AS simhash FROM v)"""
+
+    # embeddings: shared CTEs — √n hash-sampled centroids + assignment
+    emb_prefix = f"""
+          WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                            {_phash_sql('vec_id::varchar')} AS ph
+                     FROM embeddings),
+          nc AS (SELECT greatest(16, cast(floor(sqrt(count(*)) + 0.5) AS int)) AS n_cent FROM e),
+          c AS (SELECT vec_id AS cent_id, emb AS cv FROM e
+                QUALIFY row_number() OVER (ORDER BY ph, vec_id) <= (SELECT n_cent FROM nc)),
+          a0 AS (SELECT e.vec_id, e.emb, c.cent_id,
+                   round(list_dot_product(e.emb, c.cv) /
+                         (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS csim
+                 FROM e CROSS JOIN c)"""
 
     schedule_sql = (
         gated(f"SELECT url, seed_rank, priority FROM {seeds}")
@@ -621,6 +715,15 @@ def oracle_sql() -> dict[str, str]:
         "a3_cardinality": f"SELECT count(DISTINCT url) AS n_urls, count(DISTINCT {_HOST_SQL}) AS n_hosts FROM {pages}",
         "d3_extract_text_invariant": f"SELECT count(*) AS n_pages, count(*) AS n_text_match FROM {pages}",
         "x6_time_buckets": f"SELECT date_trunc('day', warc_ts) AS day, count(*) AS n_pages FROM {pages} GROUP BY 1",
+        # Spark F.window aligns tumbling windows to the epoch; DuckDB
+        # time_bucket's origin (2000-01-01) is a multiple of 6h from the
+        # epoch, so the buckets coincide exactly
+        "t4_throughput_windows": f"""
+          SELECT time_bucket(INTERVAL 6 HOUR, warc_ts) AS window_start,
+                 time_bucket(INTERVAL 6 HOUR, warc_ts) + INTERVAL 6 HOUR AS window_end,
+                 count(*) AS n_pages,
+                 sum(octet_length(html))::bigint AS total_bytes
+          FROM {pages} GROUP BY 1, 2""",
         # driver tables (pre-registered views)
         "x9_json_props": "SELECT json_extract_string(props, '$.k')::int AS k, count(*) AS n FROM events GROUP BY 1",
         "j6_asof_latest": """
@@ -668,7 +771,9 @@ def oracle_sql() -> dict[str, str]:
                      ELSE [array_to_string(toks, ' ')] END AS shl
                  FROM t),
           sizes AS (SELECT doc_id, len(shl) AS n_sh FROM sh),
-          inv AS (SELECT doc_id, unnest(shl) AS shingle FROM sh),
+          inv0 AS (SELECT doc_id, unnest(shl) AS shingle FROM sh),
+          kept AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 100),
+          inv AS (SELECT inv0.doc_id, inv0.shingle FROM inv0 JOIN kept USING (shingle)),
           co AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
                  FROM inv l JOIN inv r USING (shingle)
                  WHERE l.doc_id < r.doc_id GROUP BY 1, 2)
@@ -676,13 +781,44 @@ def oracle_sql() -> dict[str, str]:
                  round(co.n_common / (sa.n_sh + sb.n_sh - co.n_common)::double, 4) AS jaccard
           FROM co JOIN sizes sa ON co.a = sa.doc_id JOIN sizes sb ON co.b = sb.doc_id
           WHERE round(co.n_common / (sa.n_sh + sb.n_sh - co.n_common)::double, 4) >= 0.5""",
-        "dedup_embedding": """
-          WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-          c AS (SELECT vec_id AS cent_id, emb AS cv FROM e ORDER BY vec_id LIMIT 16),
-          a0 AS (SELECT e.vec_id, e.emb, c.cent_id,
-                   round(list_dot_product(e.emb, c.cv) /
-                         (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS csim
-                 FROM e CROSS JOIN c),
+        "dedup_minhash_lsh": minhash_prefix + """,
+          pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                    FROM banded l JOIN banded r
+                      ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+          vsh AS (SELECT doc_id, list_distinct(shl) AS s FROM sh),
+          ver AS (SELECT p.a, p.b,
+                    round(len(list_intersect(sa.s, sb.s)) /
+                          (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::double, 4) AS jaccard
+                  FROM pairs p JOIN vsh sa ON p.a = sa.doc_id JOIN vsh sb ON p.b = sb.doc_id)
+          SELECT a, b, jaccard FROM ver WHERE jaccard >= 0.5""",
+        "simhash_fingerprints": simhash_prefix + """
+          SELECT doc_id, simhash FROM fp""",
+        "dedup_simhash": simhash_prefix + f""",
+          banded AS ({simhash_bands})
+          SELECT a, b, hamming FROM (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                   bit_count(xor(l.simhash, r.simhash))::int AS hamming
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+          WHERE hamming <= 3""",
+        "winnow_fingerprints": """
+          WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          kg AS (SELECT doc_id, CASE WHEN len(toks) >= 5
+                   THEN list_transform(range(len(toks) - 4),
+                                       j -> array_to_string(toks[j + 1 : j + 5], ' '))
+                   ELSE [array_to_string(toks, ' ')] END AS kgrams
+                 FROM t),
+          kh AS (SELECT doc_id, list_transform(kgrams, s -> {ph}) AS hs FROM kg),
+          wins AS (SELECT doc_id, CASE WHEN len(hs) >= 8
+                     THEN list_distinct(list_transform(range(len(hs) - 7),
+                                                       j -> list_min(hs[j + 1 : j + 8])))
+                     ELSE [list_min(hs)] END AS fps
+                   FROM kh)
+          SELECT DISTINCT doc_id, fingerprint FROM (
+            SELECT doc_id, unnest(fps) AS fingerprint FROM wins)""".format(
+            ph=_phash_sql("s")
+        ),
+        "dedup_embedding": emb_prefix + """,
           asn AS (SELECT vec_id, emb, cent_id FROM (
                     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS ark
                     FROM a0) WHERE ark = 1),
@@ -691,6 +827,28 @@ def oracle_sql() -> dict[str, str]:
                         (sqrt(list_dot_product(l.emb, l.emb)) * sqrt(list_dot_product(r.emb, r.emb))), 6) AS cos
                 FROM asn l JOIN asn r USING (cent_id) WHERE l.vec_id < r.vec_id)
           SELECT a, b, cos FROM p WHERE cos >= 0.3""",
+        "ann_ivf_topk": emb_prefix + """,
+          asn AS (SELECT vec_id, cent_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS ark
+                    FROM a0) WHERE ark <= 3),
+          q AS (SELECT vec_id AS query_id, emb AS qe FROM e ORDER BY vec_id LIMIT 10),
+          pr AS (SELECT query_id, cent_id FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cent_id ASC) AS prk
+                   FROM (SELECT q.query_id, c.cent_id,
+                           round(list_dot_product(q.qe, c.cv) /
+                                 (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS csim
+                         FROM q CROSS JOIN c))
+                 WHERE prk <= 12),
+          cand AS (SELECT DISTINCT pr.query_id, asn.vec_id
+                   FROM pr JOIN asn USING (cent_id) WHERE asn.vec_id != pr.query_id),
+          scored AS (SELECT cand.query_id, cand.vec_id AS neighbor_id,
+                       round(list_dot_product(q.qe, e.emb) /
+                             (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos
+                     FROM cand JOIN q ON cand.query_id = q.query_id
+                     JOIN e ON cand.vec_id = e.vec_id),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)::int AS rk
+                     FROM scored)
+          SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5""",
         "ann_cosine_topk": """
           WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings ORDER BY vec_id LIMIT 10),
           e2 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -67,7 +67,37 @@ def test_ivf_recall(spark):
         for r in analytics.ann_ivf_topk(spark, SF).collect()
     }
     recall = len(brute & ivf) / len(brute)
-    assert recall >= 0.6, recall  # nprobe=4/16 deterministic buckets
+    assert recall >= 0.9, recall
+
+
+def test_ivf_recall_sf01(spark):
+    """VERDICT r1 item 7 'done' criterion: IVF recall@5 vs the exact
+    baseline ≥0.9 at sf0.1 with the default (√n centroids, nprobe=12,
+    n_assign=3) parameters.  The synthetic embeddings are unclustered —
+    the hardest case for IVF — so this bounds recall from below for
+    clustered production corpora."""
+    sf = "/root/testdata/sf0.1"
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in analytics.ann_cosine_topk(spark, sf).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in analytics.ann_ivf_topk(spark, sf).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.9, recall
+
+
+def test_simhash_band_width_scales(spark):
+    """Scale guard (VERDICT r1 item 6): 15-bit band keys — the candidate
+    space per band is 32768 buckets, and fingerprints use all 60 bits."""
+    from crawlfront.analytics import SIMHASH_BAND_BITS, SIMHASH_BANDS, SIMHASH_BITS
+
+    assert SIMHASH_BITS == 60 and SIMHASH_BANDS == 4 and SIMHASH_BAND_BITS == 15
+    fps = [r["simhash"] for r in analytics.simhash_docs(spark, SF).limit(200).collect()]
+    assert all(0 <= f < 2**60 for f in fps)
+    assert any(f >= 2**32 for f in fps)  # actually uses the high bits
 
 
 def test_winnow_shared_fingerprints_detect_overlap(spark):
