@@ -94,6 +94,9 @@ class EngineConfig:
     n_shards: int = 64
     shard_capacity: int = 50_000
     bloom_fpp: float = 0.01
+    #: directory-partition buckets for seen_keys appends (design scale:
+    #: thousands — each bucket dir holds ~history/n files to prune over)
+    n_seen_buckets: int = 32
 
 
 # --- scans (S1-S4) ---------------------------------------------------------
@@ -199,13 +202,22 @@ def gate_and_schedule(
     else:
         # O1: distributed top-K (TakeOrderedAndProject) on the total schedule key
         scheduled = eligible.orderBy(*_SCHED_ORDER).limit(cfg.drain_k)
-        # W3: global schedule_idx — the window input is capped at drain_k
-        # rows by O1, so the single-partition window is bounded by design
-        # (SURVEY.md §2 W3; unbounded variant: ops.global_index).
-        w_global = Window.orderBy(*_SCHED_ORDER)
-        scheduled = scheduled.withColumn(
-            "schedule_idx", (F.row_number().over(w_global) - 1 + F.lit(base_idx)).cast("long")
-        )
+        # W3: global schedule_idx.  For small caps a single-partition
+        # window over ≤drain_k rows is cheapest; for large caps (the
+        # default 100k) the same index comes from the range-partitioned
+        # two-pass global_index — no single-partition WindowExec stage
+        # (and no warning flood) on a 100k×14-col drain.  Both orderings
+        # are total (tie-break url_norm) so the indices are identical.
+        if cfg.drain_k > 10_000:
+            scheduled = global_index(
+                scheduled, _SCHED_ORDER, cfg.n_partitions, "schedule_idx", base=base_idx
+            )
+        else:
+            w_global = Window.orderBy(*_SCHED_ORDER)
+            scheduled = scheduled.withColumn(
+                "schedule_idx",
+                (F.row_number().over(w_global) - 1 + F.lit(base_idx)).cast("long"),
+            )
     return scheduled, blocked, allowed, eligible
 
 
@@ -292,6 +304,38 @@ def discover_candidates(ex: DataFrame, cfg: EngineConfig, batch_id: int) -> Data
     ).select(*FRONTIER_COLS)
 
 
+def seen_bucket(url_hash64, n_buckets: int):
+    """The seen_keys directory-partition bucket of a URL key."""
+    c = F.col(url_hash64) if isinstance(url_hash64, str) else url_hash64
+    return F.pmod(c, F.lit(n_buckets)).cast("int")
+
+
+def confirm_unseen(seen: DataFrame, maybe: DataFrame, kbs: list[int],
+                   bounded: bool = True) -> DataFrame:
+    """J4 exact confirm — the anti-join that makes bloom-positive
+    candidates exact, designed so the 10^10-row seen-keys HISTORY is
+    never shuffled or sorted (VERDICT r1 item 3):
+
+    1. partition pruning: the scan reads only ``seen_keys/batch=*/kb=K``
+       directories for the buckets ``kbs`` the candidates hash into
+       (literal ``kb IN (...)`` → PartitionFilters at the source);
+    2. the (small, bloom-positive-only) candidate set broadcasts into a
+       LEFT-SEMI against the pruned history — the history side streams
+       map-side: no Exchange, no Sort on the big side;
+    3. the resulting hit set (≤ |maybe|) anti-joins back — both sides
+       tiny.
+
+    With ``bounded=False`` (mega-batch discovery) the broadcast hint is
+    dropped and AQE picks the strategy — the pruning in (1) still holds.
+    ``maybe`` needs (url_norm); ``kbs`` is the pre-collected distinct
+    bucket list (≤ n_seen_buckets ints — driver-side metadata, not data).
+    """
+    pruned = seen.filter(F.col("kb").isin(kbs)) if kbs else seen
+    m = maybe.select("url_norm")
+    hits = pruned.join(F.broadcast(m) if bounded else m, "url_norm", "left_semi")
+    return m.join(hits.select("url_norm"), "url_norm", "left_anti")
+
+
 def refresh_gates(pending: DataFrame, politeness: DataFrame, cfg: EngineConfig,
                   n_hot: int = 10, hot_budget: int = 2):
     """SURVEY.md §3.2 entry point (2) — the proxy-pool-refresh analog:
@@ -355,13 +399,39 @@ class CrawlEngine:
 
     def seen_keys(self) -> DataFrame:
         """Union of the committed per-batch key appends (append-only —
-        the write per batch is O(new keys), not O(all history))."""
+        the write per batch is O(new keys), not O(all history)).  Each
+        append is directory-partitioned by ``kb`` so the J4 confirm leg
+        prunes the scan to candidate buckets (confirm_unseen)."""
         man = self.ckpt.manifest() or {}
-        paths = [self.ckpt.append_dir("seen_keys", sb)
-                 for sb in man.get("seen_batches", [])]
-        if not paths:
+        batches = man.get("seen_batches", [])
+        if not batches:
             return self.spark.createDataFrame([], SEEN_KEYS_SCHEMA)
-        return self.spark.read.schema(SEEN_KEYS_SCHEMA).parquet(*paths)
+        # one scan per committed append dir, unioned — uncommitted
+        # (crash-orphan) batch dirs are never even LISTED, preserving the
+        # manifest-gating contract; basePath per dir makes kb a real
+        # partition column so the confirm leg's kb filter is pushed
+        # through the union into every scan as a partition filter
+        from functools import reduce
+
+        dfs = [
+            self.spark.read.schema(SEEN_KEYS_SCHEMA)
+            .option("basePath", self.ckpt.append_dir("seen_keys", sb))
+            .parquet(self.ckpt.append_dir("seen_keys", sb))
+            for sb in batches
+        ]
+        return reduce(DataFrame.unionByName, dfs)
+
+    def _write_seen_append(self, rows: DataFrame, batch_id: int) -> None:
+        """O(new keys) append, kb-partitioned for pruned confirm scans."""
+        (
+            rows.select(
+                "url_norm", "url_hash64",
+                seen_bucket("url_hash64", self.cfg.n_seen_buckets).alias("kb"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("kb")
+            .parquet(self.ckpt.append_dir("seen_keys", batch_id))
+        )
 
     def shards(self) -> DataFrame:
         return self._read("url_seen", URL_SEEN_SHARDS_SCHEMA)
@@ -387,8 +457,7 @@ class CrawlEngine:
         f0 = frontier_from_seeds(seeds, cfg)
         self._write_snapshot(f0, "frontier", 0, partition_key("host_hash", "salt", cfg.n_partitions))
         f0c = self.spark.read.schema(FRONTIER_SCHEMA).parquet(self.ckpt.snapshot_dir("frontier", 0))
-        seen0 = f0c.select("url_norm", "url_hash64")
-        seen0.write.mode("overwrite").parquet(self.ckpt.append_dir("seen_keys", 0))
+        self._write_seen_append(f0c, 0)
         shards0 = bloom.update_shards(
             bloom.empty_shards(self.spark, cfg.n_shards, self._n_bits, self._n_hashes),
             f0c.select("url_hash32", "url_hash64"),
@@ -456,9 +525,17 @@ class CrawlEngine:
             cand.select("url_norm", "url_hash32", "url_hash64"),
             self.shards(), cfg.n_shards, passthrough_cols=["url_norm"],
         )
+        probed = probed.persist()  # read 3×: fresh, maybe, bucket list
         fresh_norms = probed.filter(~F.col("maybe_seen")).select("url_norm")
-        maybe_norms = probed.filter(F.col("maybe_seen")).select("url_norm")
-        confirmed_new_norms = maybe_norms.join(self.seen_keys(), "url_norm", "left_anti")
+        maybe = probed.filter(F.col("maybe_seen")).select(
+            "url_norm", seen_bucket("url_hash64", cfg.n_seen_buckets).alias("kb")
+        )
+        # distinct candidate buckets: ≤ n_seen_buckets ints (metadata, not
+        # data) — the literals that partition-prune the history scan
+        kbs = [r["kb"] for r in maybe.select("kb").distinct().collect()]
+        confirmed_new_norms = confirm_unseen(
+            self.seen_keys(), maybe, kbs, bounded=not cfg.unbounded_drain
+        )
         # persisted: read twice (new_rows semi-join + deduped counter) and
         # its lineage crosses the bloom-probe cogroup UDF — recompute is
         # a whole extra Python stage
@@ -492,10 +569,8 @@ class CrawlEngine:
         self._write_snapshot(new_frontier, "frontier", b, pk)
         _mark("frontier_write")
 
-        # seen_keys (append-only: O(new) write) + bloom shards
-        new_rows.select("url_norm", "url_hash64").write.mode("overwrite").parquet(
-            self.ckpt.append_dir("seen_keys", b)
-        )
+        # seen_keys (append-only: O(new) write, kb-partitioned) + bloom shards
+        self._write_seen_append(new_rows, b)
         shards2 = bloom.update_shards(
             self.shards(), new_rows.select("url_hash32", "url_hash64"),
             cfg.n_shards, self._n_bits, self._n_hashes, batch_id=b,
@@ -570,8 +645,8 @@ class CrawlEngine:
                           "politeness_deferred", "failed")
             ]
         ).collect()[0]
-        for df in (ex, cand, new_rows, new_norms, scheduled, blocked, allowed,
-                   eligible, counters):
+        for df in (ex, cand, probed, new_rows, new_norms, scheduled, blocked,
+                   allowed, eligible, counters):
             df.unpersist()
         agg = row.asDict()
         agg["batch_id"] = b

@@ -84,6 +84,11 @@ SEEN_KEYS_SCHEMA = T.StructType(
     [
         T.StructField("url_norm", T.StringType(), False),
         T.StructField("url_hash64", T.LongType(), False),
+        # kb = pmod(url_hash64, n_seen_buckets): the directory-partition
+        # key of every append (seen_keys/batch=<b>/kb=<k>/) — the J4
+        # confirm leg prunes the history scan to the buckets its
+        # candidates actually hash into
+        T.StructField("kb", T.IntegerType(), False),
     ]
 )
 

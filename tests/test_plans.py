@@ -82,6 +82,31 @@ def test_pages_scan_prunes_columns_for_host_stats(spark, fixture_dir):
     assert "isFinalPlan=true" in final
 
 
+def test_confirm_leg_never_shuffles_seen_history(spark, fixture_dir, tmp_path):
+    """VERDICT r1 item 3: the J4 exact-confirm anti-join must not
+    hash-exchange (or sort) the seen-keys history — the history scan is
+    partition-pruned to candidate kb buckets and probed via a broadcast
+    left-semi, so the big side streams map-side."""
+    import re
+
+    from crawlfront.frontier import CrawlEngine, confirm_unseen
+
+    eng = CrawlEngine(spark, fixture_dir, tmp_path / "ck")
+    eng.run(2)
+    seen = eng.seen_keys()
+    maybe = seen.limit(5).select("url_norm", "kb")
+    kbs = [r["kb"] for r in maybe.select("kb").distinct().collect()]
+    p = plan_of(confirm_unseen(seen, maybe, kbs))
+    assert not re.search(r"Exchange hashpartitioning", p)  # no shuffle anywhere
+    assert "SortMergeJoin" not in p  # history never sorted
+    assert "BroadcastHashJoin" in p
+    # candidate-bucket pruning reaches every per-batch history scan as a
+    # literal partition filter (manifest gating = only committed dirs
+    # are listed at all)
+    m = re.search(r"PartitionFilters: \[kb#\d+ IN \([\d,]+\)\]", p)
+    assert m, p[:2000]
+
+
 def test_schedule_windows_are_codegen_adjacent(spark, fixture_dir):
     """The rank pipeline stays JVM-side: no Python eval anywhere in the
     gate→schedule plan (the only Arrow stages in a batch are
@@ -93,8 +118,14 @@ def test_schedule_windows_are_codegen_adjacent(spark, fixture_dir):
     import re
 
     p = plan_of(scheduled)
-    # frontier_from_seeds runs canonicalize once (1 Arrow stage); the
-    # gate/rank/topk pipeline itself must not add more Python stages.
-    # (formatted mode prints each node twice: tree line + detail header)
-    assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) <= 1
     assert "BatchEvalPython" not in p  # no row-at-a-time Python anywhere
+    # frontier_from_seeds runs canonicalize once (1 Arrow stage).  The
+    # default drain routes W3 through global_index, whose two passes
+    # reference the same upstream subtree — the textual plan repeats the
+    # Arrow stage, but at runtime the shared exchange is reused, so the
+    # UDF still executes once.  Assert that reuse actually happens.
+    n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", p))
+    if n_arrow > 1:
+        scheduled.collect()
+        final = plan_of(scheduled)
+        assert final.count("ReusedExchange") >= n_arrow - 1, final[:3000]
