@@ -97,6 +97,15 @@ class EngineConfig:
     #: directory-partition buckets for seen_keys appends (design scale:
     #: thousands — each bucket dir holds ~history/n files to prune over)
     n_seen_buckets: int = 32
+    #: "delta" (default): each batch commits only CHANGED frontier rows
+    #: and TOUCHED bloom shards; readers merge base+deltas latest-wins
+    #: (Iceberg-style merge-on-read).  Per-batch commit I/O is then
+    #: ∝ batch size, not table size — at design scale the frontier is
+    #: ~1 TB and the shard table ~12 GB, so full-table rewrites per
+    #: batch (mode "snapshot") are fatal.  Deltas fold into a new base
+    #: snapshot every ``compact_every`` batches to bound read fan-in.
+    frontier_commit: str = "delta"
+    compact_every: int = 8
 
 
 # --- scans (S1-S4) ---------------------------------------------------------
@@ -394,8 +403,42 @@ class CrawlEngine:
             out = df.repartition(self.cfg.n_partitions, partition_expr)
         out.write.mode("overwrite").parquet(self.ckpt.snapshot_dir(table, batch_id))
 
+    def _write_delta(self, df: DataFrame, table: str, batch_id: int,
+                     partition_expr=None) -> None:
+        out = df
+        if partition_expr is not None:
+            out = df.repartition(self.cfg.n_partitions, partition_expr)
+        out.write.mode("overwrite").parquet(self.ckpt.delta_dir(table, batch_id))
+
+    def _base_id(self, man: dict, table: str) -> int:
+        """Snapshot batch id the manifest's table pointer names."""
+        return int(man["tables"][table].rsplit("-", 1)[1])
+
+    def _merge_mor(self, table: str, schema, deltas: list[int], key: str) -> DataFrame:
+        """Merge-on-read: base snapshot ∪ committed deltas, newest
+        version of each ``key`` wins (delta order is the version order —
+        a key appears at most once per delta by construction).  The
+        window is keyed, not global — it scales with the table."""
+        from functools import reduce
+
+        pieces = [self._read(table, schema).withColumn("_v", F.lit(0))]
+        for i, db in enumerate(deltas, start=1):
+            d = self.spark.read.schema(schema).parquet(self.ckpt.delta_dir(table, db))
+            pieces.append(d.withColumn("_v", F.lit(i)))
+        merged = reduce(DataFrame.unionByName, pieces)
+        w = Window.partitionBy(key).orderBy(F.desc("_v"))
+        return (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_v", "_rn")
+        )
+
     def frontier(self) -> DataFrame:
-        return self._read("frontier", FRONTIER_SCHEMA)
+        man = self.ckpt.manifest() or {}
+        deltas = man.get("frontier_deltas", [])
+        if not deltas:
+            return self._read("frontier", FRONTIER_SCHEMA)
+        return self._merge_mor("frontier", FRONTIER_SCHEMA, deltas, key="url_norm")
 
     def seen_keys(self) -> DataFrame:
         """Union of the committed per-batch key appends (append-only —
@@ -434,7 +477,11 @@ class CrawlEngine:
         )
 
     def shards(self) -> DataFrame:
-        return self._read("url_seen", URL_SEEN_SHARDS_SCHEMA)
+        man = self.ckpt.manifest() or {}
+        deltas = man.get("url_seen_deltas", [])
+        if not deltas:
+            return self._read("url_seen", URL_SEEN_SHARDS_SCHEMA)
+        return self._merge_mor("url_seen", URL_SEEN_SHARDS_SCHEMA, deltas, key="shard")
 
     def results(self) -> DataFrame:
         paths = self.ckpt.append_paths("results")
@@ -466,7 +513,9 @@ class CrawlEngine:
         self._write_snapshot(shards0, "url_seen", 0)
         self.ckpt.commit(
             0, {"frontier": 0, "url_seen": 0},
-            extra={"next_idx": 0, "seen_batches": [0]}, append_batch=False,
+            extra={"next_idx": 0, "seen_batches": [0],
+                   "frontier_deltas": [], "url_seen_deltas": []},
+            append_batch=False,
         )
 
     # --- one micro-batch ---
@@ -555,27 +604,64 @@ class CrawlEngine:
             .cast("int")
             .alias("retry_count"),
         )
-        unscheduled = (
-            allowed.join(scheduled.select("url_norm"), "url_norm", "left_anti")
-            .select(*FRONTIER_COLS)
-        )
-        new_frontier = (
-            rest.select(*FRONTIER_COLS)
-            .unionByName(blocked)
-            .unionByName(unscheduled)
+        # frontier commit: a batch CHANGES only (newly blocked) ∪
+        # (scheduled outcomes) ∪ (new rows) — unscheduled pending rows
+        # and already-terminal rows are untouched, so in delta mode only
+        # the changed slice is written (commit I/O ∝ batch, not table).
+        # Every compact_every-th commit folds base+deltas into a fresh
+        # base snapshot to bound merge-on-read fan-in.
+        frontier_delta = (
+            blocked
             .unionByName(sched_after.select(*FRONTIER_COLS))
             .unionByName(new_rows)
         )
-        self._write_snapshot(new_frontier, "frontier", b, pk)
+        f_deltas = man.get("frontier_deltas", [])
+        f_compact = (cfg.frontier_commit == "snapshot"
+                     or len(f_deltas) + 1 >= cfg.compact_every)
+        if f_compact:
+            unscheduled = (
+                allowed.join(scheduled.select("url_norm"), "url_norm", "left_anti")
+                .select(*FRONTIER_COLS)
+            )
+            new_frontier = (
+                rest.select(*FRONTIER_COLS)
+                .unionByName(unscheduled)
+                .unionByName(frontier_delta)
+            )
+            self._write_snapshot(new_frontier, "frontier", b, pk)
+            frontier_base, f_deltas = b, []
+        else:
+            self._write_delta(frontier_delta, "frontier", b, pk)
+            frontier_base, f_deltas = self._base_id(man, "frontier"), f_deltas + [b]
         _mark("frontier_write")
 
-        # seen_keys (append-only: O(new) write, kb-partitioned) + bloom shards
+        # seen_keys (append-only: O(new) write, kb-partitioned) + bloom
+        # shards (delta mode: only TOUCHED shards are rewritten — a full
+        # shard-table rewrite per batch is ~12 GB at design scale even
+        # for a 1-row batch)
         self._write_seen_append(new_rows, b)
-        shards2 = bloom.update_shards(
-            self.shards(), new_rows.select("url_hash32", "url_hash64"),
-            cfg.n_shards, self._n_bits, self._n_hashes, batch_id=b,
-        )
-        self._write_snapshot(shards2, "url_seen", b)
+        new_keys = new_rows.select("url_hash32", "url_hash64")
+        u_deltas = man.get("url_seen_deltas", [])
+        u_compact = (cfg.frontier_commit == "snapshot"
+                     or len(u_deltas) + 1 >= cfg.compact_every)
+        if u_compact:
+            shards2 = bloom.update_shards(
+                self.shards(), new_keys,
+                cfg.n_shards, self._n_bits, self._n_hashes, batch_id=b,
+            )
+            self._write_snapshot(shards2, "url_seen", b)
+            url_seen_base, u_deltas = b, []
+        else:
+            touched = new_keys.select(
+                bloom.shard_col(F.col("url_hash32"), cfg.n_shards).alias("shard")
+            ).distinct()
+            old_touched = self.shards().join(touched, "shard", "left_semi")
+            delta_shards = bloom.update_shards(
+                old_touched, new_keys,
+                cfg.n_shards, self._n_bits, self._n_hashes, batch_id=b,
+            )
+            self._write_delta(delta_shards, "url_seen", b)
+            url_seen_base, u_deltas = self._base_id(man, "url_seen"), u_deltas + [b]
         _mark("seen_bloom_write")
 
         # per-partition counters + lineage (A2/S6) — grouped by the
@@ -583,11 +669,12 @@ class CrawlEngine:
         lineage = json.dumps(
             {
                 "batch": b,
-                "frontier_in": f"frontier/snap-{b - 1}",
-                "frontier_out": f"frontier/snap-{b}",
+                "frontier_in": f"frontier/snap-{self._base_id(man, 'frontier')}"
+                + (f"+delta<={b - 1}" if man.get("frontier_deltas") else ""),
+                "frontier_out": f"frontier/{'snap' if f_compact else 'delta'}-{b}",
                 "seen_in": f"seen_keys/batch<={b - 1}",
                 "seen_out": f"seen_keys/batch={b}",
-                "url_seen_out": f"url_seen/snap-{b}",
+                "url_seen_out": f"url_seen/{'snap' if u_compact else 'delta'}-{b}",
                 "results_out": f"results/batch={b}",
             },
             sort_keys=True,
@@ -631,9 +718,10 @@ class CrawlEngine:
 
         self.ckpt.commit(
             b,
-            {"frontier": b, "url_seen": b},
+            {"frontier": frontier_base, "url_seen": url_seen_base},
             extra={"next_idx": base_idx + n_scheduled,
                    "seen_batches": man.get("seen_batches", []) + [b],
+                   "frontier_deltas": f_deltas, "url_seen_deltas": u_deltas,
                    **(extra_manifest or {})},
         )
         # batch summary from the (tiny, persisted) counters of THIS batch —
@@ -652,6 +740,23 @@ class CrawlEngine:
         agg["batch_id"] = b
         agg["scheduled"] = n_scheduled
         _mark("commit_readback")
+        # bytes this batch actually committed to storage (the incremental-
+        # commit success metric: must track batch size, not table size)
+        written = [
+            self.ckpt.snapshot_dir("frontier", b) if f_compact
+            else self.ckpt.delta_dir("frontier", b),
+            self.ckpt.snapshot_dir("url_seen", b) if u_compact
+            else self.ckpt.delta_dir("url_seen", b),
+            self.ckpt.append_dir("seen_keys", b),
+            self.ckpt.append_dir("results", b),
+            self.ckpt.append_dir("counters", b),
+        ]
+        timings["commit_bytes"] = sum(
+            f.stat().st_size
+            for d in written
+            for f in Path(d).rglob("*")
+            if f.is_file()
+        )
         self.last_timings = timings
         return agg
 

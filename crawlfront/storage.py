@@ -12,8 +12,11 @@ Layout::
     ckpt/
       manifest.json                 # atomic pointer: current batch + table→snapshot
       manifests/manifest-<b>.json   # history (time travel / lineage)
-      frontier/snap-<b>/*.parquet
-      url_seen/snap-<b>/*.parquet   # bloom shards
+      frontier/snap-<b>/*.parquet   # base snapshot (written at compaction)
+      frontier/delta-<b>/*.parquet  # changed rows only; manifest key
+                                    # "frontier_deltas" lists committed deltas
+      url_seen/snap-<b>/*.parquet   # bloom shards (base)
+      url_seen/delta-<b>/*.parquet  # touched shards only ("url_seen_deltas")
       results/batch=<b>/*.parquet   # append-only, manifest lists valid batches
       counters/batch=<b>/*.parquet
       seen_keys/batch=<b>/*.parquet # append-only (O(new keys)/batch); the
@@ -63,6 +66,14 @@ class Checkpoint:
 
     def append_dir(self, table: str, batch_id: int) -> str:
         return str(self.root / table / f"batch={batch_id}")
+
+    def delta_dir(self, table: str, batch_id: int) -> str:
+        """Per-batch delta of a snapshot table (incremental commits: the
+        batch writes only changed rows/shards; readers merge base +
+        deltas latest-wins; compaction folds deltas back into a new base
+        snapshot).  Like snapshots, a delta dir is garbage unless the
+        manifest's ``<table>_deltas`` list references it."""
+        return str(self.root / table / f"delta-{batch_id}")
 
     def table_path(self, table: str) -> str:
         """Path of ``table`` pinned at the current manifest."""
