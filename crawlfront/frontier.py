@@ -106,6 +106,10 @@ class EngineConfig:
     #: snapshot every ``compact_every`` batches to bound read fan-in.
     frontier_commit: str = "delta"
     compact_every: int = 8
+    #: fetch J3 against the url-bucketed pages table (ingest-time layout;
+    #: see bucketed_pages_table) — the mega-batch path where the URL list
+    #: can't broadcast and the pages corpus must never be shuffled
+    bucketed_fetch: bool = False
 
 
 # --- scans (S1-S4) ---------------------------------------------------------
@@ -230,6 +234,61 @@ def gate_and_schedule(
     return scheduled, blocked, allowed, eligible
 
 
+def fetch_prefilter(pages: DataFrame, urls: DataFrame, bounded: bool) -> DataFrame:
+    """The J3 semi-join that prunes the pages corpus to the scheduled
+    URL set.  Bounded drains broadcast the (≤drain_k) URL list; for
+    unbounded mega-batches no hint is applied — and when ``pages`` is
+    the url-bucketed table (``bucketed_pages_table``), the planner joins
+    it WITHOUT shuffling the pages side at all: the bucketed scan
+    already satisfies the join's hash-partitioning requirement, so only
+    the URL list is exchanged (plan-asserted in test_plans)."""
+    return pages.select("url", "html").join(
+        F.broadcast(urls) if bounded else urls, "url", "left_semi"
+    )
+
+
+def bucketed_pages_table(spark: SparkSession, fixture_dir: str,
+                         n_buckets: int = 32) -> str:
+    """Register (writing once per fixture dir) a url-bucketed copy of
+    the pages table and return its catalog name.
+
+    This is the ingest-time layout the 10^10-scale fetch needs: at that
+    size the per-batch URL list can never broadcast (8 GB BroadcastExchange
+    hard limit) and an unbucketed SMJ would re-shuffle the ~100 TB html
+    corpus EVERY batch.  Bucketing pages by url once at ingest makes the
+    fetch semi-join exchange-free on the pages side forever after — the
+    plain-parquet stand-in for an Iceberg table with a bucket(url)
+    partition transform (SURVEY.md §0.3).  The bucketed copy lives next
+    to the fixtures (gitignored) and is reused across sessions via
+    CREATE TABLE ... CLUSTERED BY DDL."""
+    import hashlib
+
+    fdir = Path(fixture_dir).resolve()
+    tag = hashlib.md5(f"{fdir}|{n_buckets}".encode()).hexdigest()[:10]
+    name = f"pages_bkt_{tag}"
+    if spark.catalog.tableExists(name):
+        return name
+    path = fdir / f"pages_bucketed_{n_buckets}"
+    if path.exists():
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in PAGES_SCHEMA.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING PARQUET "
+            f"CLUSTERED BY (url) SORTED BY (url) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    else:
+        (
+            scan_pages(spark, str(fdir))
+            .write.bucketBy(n_buckets, "url")
+            .sortBy("url")
+            .option("path", str(path))
+            .saveAsTable(name)
+        )
+    return name
+
+
 def fetch_and_extract(scheduled: DataFrame, pages: DataFrame,
                       bounded: bool = True) -> DataFrame:
     """J3 + D3: resolve each scheduled URL to its page bytes, run the
@@ -249,10 +308,7 @@ def fetch_and_extract(scheduled: DataFrame, pages: DataFrame,
     semi-join is an exchange-free SMJ on the pages side.  The surviving
     pages then left-join back to scheduled; ``html`` is projected only
     here, never upstream (column-pruning design rule)."""
-    urls = scheduled.select("url")
-    wanted = pages.select("url", "html").join(
-        F.broadcast(urls) if bounded else urls, "url", "left_semi"
-    )
+    wanted = fetch_prefilter(pages, scheduled.select("url"), bounded)
     # extract BEFORE the join-back: the UDF runs inside the scan stage
     # (no shuffle upstream of it), and the join then exchanges extracted
     # text instead of raw html — roughly half the shuffle bytes when a
@@ -557,7 +613,13 @@ class CrawlEngine:
         blocked = blocked.persist()
         allowed = allowed.persist()
         eligible = eligible.persist()
-        pages = scan_pages(self.spark, self.fixture_dir)
+        pages = (
+            self.spark.table(
+                bucketed_pages_table(self.spark, self.fixture_dir, cfg.n_partitions)
+            )
+            if cfg.bucketed_fetch
+            else scan_pages(self.spark, self.fixture_dir)
+        )
         ex = fetch_and_extract(scheduled, pages,
                                bounded=not cfg.unbounded_drain).persist()
 

@@ -82,6 +82,36 @@ def test_pages_scan_prunes_columns_for_host_stats(spark, fixture_dir):
     assert "isFinalPlan=true" in final
 
 
+def test_bucketed_fetch_mega_batch_no_pages_shuffle(spark, fixture_dir):
+    """VERDICT r1 item 2: when the scheduled URL set is too big to
+    broadcast (unbounded mega-batch), the fetch must not degrade to
+    shuffling the pages corpus.  Against the url-bucketed pages table
+    the semi-join plans as an SMJ whose pages side has NO Exchange and
+    no BroadcastExchange anywhere — only the URL list is shuffled."""
+    import re
+
+    from crawlfront.frontier import bucketed_pages_table, fetch_prefilter
+
+    name = bucketed_pages_table(spark, fixture_dir, n_buckets=8)
+    pages = spark.table(name)
+    urls = scan_pages(spark, fixture_dir).select("url")  # mega-batch: every url
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = plan_of(fetch_prefilter(pages, urls, bounded=False))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in p
+    assert "BroadcastExchange" not in p
+    # exactly ONE exchange (the url list); the bucketed pages side joins
+    # straight from its sorted bucket scan
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    # and the pages-side subtree (scan 1 → join) has no exchange between
+    tree = p.split("(1) Scan parquet")[0]
+    pages_branch = tree.split("SortMergeJoin")[1].split("+- Sort")[0]
+    assert "Exchange" not in pages_branch
+
+
 def test_confirm_leg_never_shuffles_seen_history(spark, fixture_dir, tmp_path):
     """VERDICT r1 item 3: the J4 exact-confirm anti-join must not
     hash-exchange (or sort) the seen-keys history — the history scan is

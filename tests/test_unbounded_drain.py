@@ -30,3 +30,16 @@ def test_unbounded_equals_bounded_with_huge_k(spark, fixture_dir, tmp_path):
     assert s1 == s2
     assert r1 == r2
     assert f1 == f2
+
+
+def test_bucketed_fetch_equals_plain(spark, fixture_dir, tmp_path):
+    """J3 against the url-bucketed pages table (the mega-batch scale
+    path) fetches exactly what the plain-scan fetch does."""
+    plain = EngineConfig(unbounded_drain=True, budget_scale=7)
+    bucketed = EngineConfig(unbounded_drain=True, budget_scale=7,
+                            bucketed_fetch=True)
+    s1, r1, f1 = _run(spark, fixture_dir, tmp_path, "plain", plain)
+    s2, r2, f2 = _run(spark, fixture_dir, tmp_path, "bucketed", bucketed)
+    assert s1 == s2
+    assert r1 == r2
+    assert f1 == f2
