@@ -110,6 +110,12 @@ class EngineConfig:
     #: see bucketed_pages_table) — the mega-batch path where the URL list
     #: can't broadcast and the pages corpus must never be shuffled
     bucketed_fetch: bool = False
+    #: "parquet" (default): Iceberg-shaped manifest checkpoints on plain
+    #: parquet.  "iceberg": real Iceberg tables via crawlfront.iceberg
+    #: (needs the runtime jar — unavailable in this sandbox, so the
+    #: engine refuses early with a clear error; see iceberg.IcebergStore
+    #: for the 1:1 call-site mapping)
+    storage: str = "parquet"
 
 
 # --- scans (S1-S4) ---------------------------------------------------------
@@ -444,6 +450,15 @@ class CrawlEngine:
         self.fixture_dir = str(fixture_dir)
         self.ckpt = Checkpoint(ckpt_dir)
         self.cfg = cfg or EngineConfig()
+        if self.cfg.storage == "iceberg":
+            from .iceberg import IcebergStore
+
+            # probes the classpath and raises a clear error without the
+            # runtime jar; with it, the store exposes the writeTo/append/
+            # time-travel surface the four write call-sites below map to
+            self.iceberg = IcebergStore(spark)
+        elif self.cfg.storage != "parquet":
+            raise ValueError(f"unknown storage backend {self.cfg.storage!r}")
         self._n_bits, self._n_hashes = bloom.bloom_params(
             self.cfg.shard_capacity, self.cfg.bloom_fpp
         )
