@@ -85,6 +85,7 @@ def run_drain(spark, sf: float, n_batches: int, cfg=None, warmup: int = 1) -> di
         for _ in range(warmup):
             eng.run_batch()
         rows = 0
+        commit_bytes = 0
         per_batch = []
         t_all = time.monotonic()
         for _ in range(n_batches):
@@ -93,13 +94,18 @@ def run_drain(spark, sf: float, n_batches: int, cfg=None, warmup: int = 1) -> di
             dt = time.monotonic() - t0
             r = agg["scheduled"] + agg["fetched"]
             rows += r
-            per_batch.append({"batch": agg["batch_id"], "rows": r, "sec": round(dt, 3)})
+            cb = eng.last_timings.get("commit_bytes", 0)
+            commit_bytes += cb
+            per_batch.append({"batch": agg["batch_id"], "rows": r,
+                              "sec": round(dt, 3),
+                              "commit_mb": round(cb / 1e6, 2)})
         dt_all = time.monotonic() - t_all
         return {
             "drain_batches": n_batches,
             "drain_sec": round(dt_all, 3),
             "drain_rows": rows,
             "drain_urls_per_sec": round(rows / dt_all, 1) if dt_all > 0 else 0.0,
+            "drain_commit_mb": round(commit_bytes / 1e6, 2),
             "per_batch": per_batch,
         }
     finally:

@@ -116,6 +116,11 @@ class EngineConfig:
     #: engine refuses early with a clear error; see iceberg.IcebergStore
     #: for the 1:1 call-site mapping)
     storage: str = "parquet"
+    #: URL-seen prefilter structure: "bloom" (default) or "cuckoo"
+    #: (crawlfront.cuckoo — deletable fingerprints, ≤2 bucket reads per
+    #: probe).  Both are prefilters only; J4's exact anti-join keeps
+    #: correctness independent of filter FPP.
+    seen_filter: str = "bloom"
 
 
 # --- scans (S1-S4) ---------------------------------------------------------
@@ -459,9 +464,52 @@ class CrawlEngine:
             self.iceberg = IcebergStore(spark)
         elif self.cfg.storage != "parquet":
             raise ValueError(f"unknown storage backend {self.cfg.storage!r}")
-        self._n_bits, self._n_hashes = bloom.bloom_params(
-            self.cfg.shard_capacity, self.cfg.bloom_fpp
+        if self.cfg.seen_filter == "bloom":
+            self._n_bits, self._n_hashes = bloom.bloom_params(
+                self.cfg.shard_capacity, self.cfg.bloom_fpp
+            )
+        elif self.cfg.seen_filter == "cuckoo":
+            from . import cuckoo
+
+            self._n_buckets = cuckoo.cuckoo_params(self.cfg.shard_capacity)
+        else:
+            raise ValueError(f"unknown seen_filter {self.cfg.seen_filter!r}")
+
+    # --- URL-seen filter dispatch (bloom | cuckoo, same cogroup shape) --
+    @property
+    def _filter_schema(self):
+        if self.cfg.seen_filter == "cuckoo":
+            from .cuckoo import CUCKOO_SHARDS_SCHEMA
+
+            return CUCKOO_SHARDS_SCHEMA
+        return URL_SEEN_SHARDS_SCHEMA
+
+    def _filter_empty(self) -> DataFrame:
+        if self.cfg.seen_filter == "cuckoo":
+            from . import cuckoo
+
+            return cuckoo.empty_shards(self.spark, self.cfg.n_shards, self._n_buckets)
+        return bloom.empty_shards(
+            self.spark, self.cfg.n_shards, self._n_bits, self._n_hashes
         )
+
+    def _filter_update(self, old: DataFrame, keys: DataFrame, batch_id: int) -> DataFrame:
+        if self.cfg.seen_filter == "cuckoo":
+            from . import cuckoo
+
+            return cuckoo.update_shards(
+                old, keys, self.cfg.n_shards, self._n_buckets, batch_id
+            )
+        return bloom.update_shards(
+            old, keys, self.cfg.n_shards, self._n_bits, self._n_hashes, batch_id
+        )
+
+    def _filter_probe(self, cand: DataFrame, passthrough: list[str]) -> DataFrame:
+        mod = bloom
+        if self.cfg.seen_filter == "cuckoo":
+            from . import cuckoo as mod  # noqa: PLC0415
+        return mod.probe(cand, self.shards(), self.cfg.n_shards,
+                         passthrough_cols=passthrough)
 
     # --- snapshot IO ---
     def _read(self, table: str, schema) -> DataFrame:
@@ -551,8 +599,8 @@ class CrawlEngine:
         man = self.ckpt.manifest() or {}
         deltas = man.get("url_seen_deltas", [])
         if not deltas:
-            return self._read("url_seen", URL_SEEN_SHARDS_SCHEMA)
-        return self._merge_mor("url_seen", URL_SEEN_SHARDS_SCHEMA, deltas, key="shard")
+            return self._read("url_seen", self._filter_schema)
+        return self._merge_mor("url_seen", self._filter_schema, deltas, key="shard")
 
     def results(self) -> DataFrame:
         paths = self.ckpt.append_paths("results")
@@ -576,10 +624,8 @@ class CrawlEngine:
         self._write_snapshot(f0, "frontier", 0, partition_key("host_hash", "salt", cfg.n_partitions))
         f0c = self.spark.read.schema(FRONTIER_SCHEMA).parquet(self.ckpt.snapshot_dir("frontier", 0))
         self._write_seen_append(f0c, 0)
-        shards0 = bloom.update_shards(
-            bloom.empty_shards(self.spark, cfg.n_shards, self._n_bits, self._n_hashes),
-            f0c.select("url_hash32", "url_hash64"),
-            cfg.n_shards, self._n_bits, self._n_hashes, batch_id=0,
+        shards0 = self._filter_update(
+            self._filter_empty(), f0c.select("url_hash32", "url_hash64"), batch_id=0
         )
         self._write_snapshot(shards0, "url_seen", 0)
         self.ckpt.commit(
@@ -647,9 +693,9 @@ class CrawlEngine:
 
         # discovery + two-tier dedup (D5 bloom prefilter → J4 exact anti-join)
         cand = discover_candidates(ex, cfg, b).persist()
-        probed = bloom.probe(
+        probed = self._filter_probe(
             cand.select("url_norm", "url_hash32", "url_hash64"),
-            self.shards(), cfg.n_shards, passthrough_cols=["url_norm"],
+            passthrough=["url_norm"],
         )
         probed = probed.persist()  # read 3×: fresh, maybe, bucket list
         fresh_norms = probed.filter(~F.col("maybe_seen")).select("url_norm")
@@ -722,10 +768,7 @@ class CrawlEngine:
         u_compact = (cfg.frontier_commit == "snapshot"
                      or len(u_deltas) + 1 >= cfg.compact_every)
         if u_compact:
-            shards2 = bloom.update_shards(
-                self.shards(), new_keys,
-                cfg.n_shards, self._n_bits, self._n_hashes, batch_id=b,
-            )
+            shards2 = self._filter_update(self.shards(), new_keys, batch_id=b)
             self._write_snapshot(shards2, "url_seen", b)
             url_seen_base, u_deltas = b, []
         else:
@@ -733,10 +776,7 @@ class CrawlEngine:
                 bloom.shard_col(F.col("url_hash32"), cfg.n_shards).alias("shard")
             ).distinct()
             old_touched = self.shards().join(touched, "shard", "left_semi")
-            delta_shards = bloom.update_shards(
-                old_touched, new_keys,
-                cfg.n_shards, self._n_bits, self._n_hashes, batch_id=b,
-            )
+            delta_shards = self._filter_update(old_touched, new_keys, batch_id=b)
             self._write_delta(delta_shards, "url_seen", b)
             url_seen_base, u_deltas = self._base_id(man, "url_seen"), u_deltas + [b]
         _mark("seen_bloom_write")
