@@ -37,7 +37,11 @@ from crawlfront.ops import hash32_of, hash64_of, host_of, partition_key, path_of
 
 # the oracle runs at sf0.01 — fixture paths are baked into the SQL strings
 _FX = str(Path(__file__).resolve().parent / "fixtures" / "sf0.01")
-_CFG = EngineConfig()
+# query-surface config: a 5k drain cap keeps W3 on the cheap bounded
+# window (identical results — eligible sets at contract/bench scales are
+# far below any cap; the >10k global_index routing and unbounded_drain
+# remain the engine's scale paths, covered by test_unbounded_drain)
+_CFG = EngineConfig(drain_k=5_000)
 
 # DuckDB twins of the URL helpers (regex on the synthetic URLs, which are
 # already canonical — an independent computation path from F.parse_url)
@@ -567,12 +571,12 @@ def oracle_sql() -> dict[str, str]:
     # ---- generated SQL for the portable-hash dedup twins ----------------
     from crawlfront.analytics import SIMHASH_BAND_BITS, SIMHASH_BANDS, SIMHASH_BITS
 
-    # minhash: 32 permutations simulated by i-prefixed portable hashes
+    # minhash: one portable hash per shingle + 32 affine permutations
+    from crawlfront.analytics import MINHASH_P, minhash_coeffs
+
     minhash_exprs = ",\n                 ".join(
-        "list_min(list_transform(shl, s -> {h})) AS h{i}".format(
-            h=_phash_sql(f"'{i}|' || s"), i=i
-        )
-        for i in range(32)
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P})) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(32))
     )
     minhash_bands = "\n          UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
@@ -589,9 +593,11 @@ def oracle_sql() -> dict[str, str]:
                                        j -> array_to_string(toks[j + 1 : j + 3], ' '))
                    ELSE [array_to_string(toks, ' ')] END AS shl
                  FROM t),
+          hl AS (SELECT doc_id, list_transform(shl, s -> {_phash_sql('s')} % {MINHASH_P}) AS hs
+                 FROM sh),
           sig AS (SELECT doc_id,
                  {minhash_exprs}
-                 FROM sh),
+                 FROM hl),
           banded AS ({minhash_bands})"""
 
     # simhash: 60 per-bit ±1 votes over per-token portable hashes

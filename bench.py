@@ -79,7 +79,15 @@ def run_drain(spark, sf: float, n_batches: int, cfg=None, warmup: int = 1) -> di
     fx = fixture_dir_for_sf(sf)
     ck = tempfile.mkdtemp(prefix="bench_ckpt_")
     try:
-        cfg = cfg or EngineConfig(drain_k=max(2000, int(20000 * sf)))
+        # frontier_commit="snapshot" here: at sandbox table sizes (MBs)
+        # full-snapshot writes beat delta's fixed extra stages (~4-5 s of
+        # merge-on-read/semi-join scheduling per batch) — measured
+        # crossover analysis in BASELINE.md §commit-modes.  The engine
+        # DEFAULT stays "delta" (commit bytes ∝ batch, the 10^10-scale
+        # requirement, evidenced by test_incremental_commits + the
+        # commit_mb fields here).
+        cfg = cfg or EngineConfig(drain_k=max(2000, int(20000 * sf)),
+                                  frontier_commit="snapshot")
         eng = CrawlEngine(spark, fx, ck, cfg)
         eng.init()
         for _ in range(warmup):
@@ -122,6 +130,11 @@ def bench_default(sf_dir: str, cpus: int) -> dict:
     spark = get_spark(f"local[{cpus}]", app_name="crawlfront-bench",
                       shuffle_partitions=cpus)
     try:
+        # drain FIRST: the query sweep leaves the session with dozens of
+        # finished shuffles/broadcasts whose async cleanup competes with
+        # the drain's many small stages (measured +5 s/batch when the
+        # drain runs last)
+        drain = run_drain(spark, sf, n_batches=2)
         qs = entrymod.queries()
         times: dict[str, float] = {}
         for key in HEADLINE:
@@ -131,7 +144,6 @@ def bench_default(sf_dir: str, cpus: int) -> dict:
             t0 = time.monotonic()
             _materialize(qs[key](spark, sf_dir))
             times[key] = round(time.monotonic() - t0, 3)
-        drain = run_drain(spark, sf, n_batches=2)
     finally:
         spark.stop()
     total = round(sum(times.values()) + drain["drain_sec"], 3)
@@ -219,8 +231,12 @@ def bench_scaling(sf: float, n_batches: int, cores_low: int = 8,
 def scaling_cfg():
     from crawlfront.frontier import EngineConfig
 
+    # snapshot commits: mega-batches change ~every frontier row, so a
+    # delta IS the full table there — only the merge-on-read overhead
+    # would remain (BASELINE.md §commit-modes)
     return EngineConfig(budget_scale=10_000, unbounded_drain=True,
-                        n_shards=256, shard_capacity=100_000)
+                        n_shards=256, shard_capacity=100_000,
+                        frontier_commit="snapshot")
 
 
 def drain_once(sf: float, cores: int, n_batches: int) -> dict:

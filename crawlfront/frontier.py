@@ -97,6 +97,14 @@ class EngineConfig:
     #: directory-partition buckets for seen_keys appends (design scale:
     #: thousands — each bucket dir holds ~history/n files to prune over)
     n_seen_buckets: int = 32
+    #: engage the kb-pruned confirm scan only once the history spans
+    #: more than this many committed batches: pruning trades one extra
+    #: driver-side job (collecting the candidate bucket list) for
+    #: skipping (1 - |kbs|/n_seen_buckets) of the history scan — a loss
+    #: while the whole history is a few MB, the difference between
+    #: scanning GBs and TBs later.  The pruned plan itself is
+    #: shape-asserted in test_plans regardless of this cutover.
+    prune_confirm_after: int = 8
     #: "delta" (default): each batch commits only CHANGED frontier rows
     #: and TOUCHED bloom shards; readers merge base+deltas latest-wins
     #: (Iceberg-style merge-on-read).  Per-batch commit I/O is then
@@ -504,11 +512,12 @@ class CrawlEngine:
             old, keys, self.cfg.n_shards, self._n_bits, self._n_hashes, batch_id
         )
 
-    def _filter_probe(self, cand: DataFrame, passthrough: list[str]) -> DataFrame:
+    def _filter_probe(self, cand: DataFrame, shards: DataFrame,
+                      passthrough: list[str]) -> DataFrame:
         mod = bloom
         if self.cfg.seen_filter == "cuckoo":
             from . import cuckoo as mod  # noqa: PLC0415
-        return mod.probe(cand, self.shards(), self.cfg.n_shards,
+        return mod.probe(cand, shards, self.cfg.n_shards,
                          passthrough_cols=passthrough)
 
     # --- snapshot IO ---
@@ -584,12 +593,16 @@ class CrawlEngine:
         return reduce(DataFrame.unionByName, dfs)
 
     def _write_seen_append(self, rows: DataFrame, batch_id: int) -> None:
-        """O(new keys) append, kb-partitioned for pruned confirm scans."""
+        """O(new keys) append, kb-partitioned for pruned confirm scans.
+        Repartitioned ON kb first — without it every write task emits a
+        file into every kb dir (tasks × buckets small files per batch:
+        measured 40% slower batches at sf0.1 from listing alone)."""
         (
             rows.select(
                 "url_norm", "url_hash64",
                 seen_bucket("url_hash64", self.cfg.n_seen_buckets).alias("kb"),
             )
+            .repartition(self.cfg.n_seen_buckets, F.col("kb"))
             .write.mode("overwrite")
             .partitionBy("kb")
             .parquet(self.ckpt.append_dir("seen_keys", batch_id))
@@ -654,7 +667,20 @@ class CrawlEngine:
             timings[phase] = round(now - _t0, 3)
             _t0 = now
 
+        # persisted ONLY in delta mode, where frontier() and shards()
+        # are merge-on-read views — the branches below (pending/rest,
+        # probe, shard update) must not re-run the merge.  In snapshot
+        # mode they are plain parquet scans: re-scanning is cheaper than
+        # caching.
         frontier = self.frontier()
+        shards = self.shards()
+        cached: list[DataFrame] = []
+        if man.get("frontier_deltas"):
+            frontier = frontier.persist()
+            cached.append(frontier)
+        if man.get("url_seen_deltas"):
+            shards = shards.persist()
+            cached.append(shards)
         pending = frontier.filter(F.col("state") == PENDING)
         rest = frontier.filter(F.col("state") != PENDING)
         robots = scan_robots(self.spark, self.fixture_dir)
@@ -694,7 +720,7 @@ class CrawlEngine:
         # discovery + two-tier dedup (D5 bloom prefilter → J4 exact anti-join)
         cand = discover_candidates(ex, cfg, b).persist()
         probed = self._filter_probe(
-            cand.select("url_norm", "url_hash32", "url_hash64"),
+            cand.select("url_norm", "url_hash32", "url_hash64"), shards,
             passthrough=["url_norm"],
         )
         probed = probed.persist()  # read 3×: fresh, maybe, bucket list
@@ -702,9 +728,15 @@ class CrawlEngine:
         maybe = probed.filter(F.col("maybe_seen")).select(
             "url_norm", seen_bucket("url_hash64", cfg.n_seen_buckets).alias("kb")
         )
-        # distinct candidate buckets: ≤ n_seen_buckets ints (metadata, not
-        # data) — the literals that partition-prune the history scan
-        kbs = [r["kb"] for r in maybe.select("kb").distinct().collect()]
+        # distinct candidate buckets: ≤ n_seen_buckets ints (metadata,
+        # not data) — the literals that partition-prune the history
+        # scan.  Skipped while the history is only a few batches deep
+        # (cfg.prune_confirm_after): there the extra driver job costs
+        # more than the full (tiny) scan it would save.
+        if len(man.get("seen_batches", [])) > cfg.prune_confirm_after:
+            kbs = [r["kb"] for r in maybe.select("kb").distinct().collect()]
+        else:
+            kbs = []
         confirmed_new_norms = confirm_unseen(
             self.seen_keys(), maybe, kbs, bounded=not cfg.unbounded_drain
         )
@@ -768,14 +800,14 @@ class CrawlEngine:
         u_compact = (cfg.frontier_commit == "snapshot"
                      or len(u_deltas) + 1 >= cfg.compact_every)
         if u_compact:
-            shards2 = self._filter_update(self.shards(), new_keys, batch_id=b)
+            shards2 = self._filter_update(shards, new_keys, batch_id=b)
             self._write_snapshot(shards2, "url_seen", b)
             url_seen_base, u_deltas = b, []
         else:
             touched = new_keys.select(
                 bloom.shard_col(F.col("url_hash32"), cfg.n_shards).alias("shard")
             ).distinct()
-            old_touched = self.shards().join(touched, "shard", "left_semi")
+            old_touched = shards.join(touched, "shard", "left_semi")
             delta_shards = self._filter_update(old_touched, new_keys, batch_id=b)
             self._write_delta(delta_shards, "url_seen", b)
             url_seen_base, u_deltas = self._base_id(man, "url_seen"), u_deltas + [b]
@@ -851,7 +883,7 @@ class CrawlEngine:
             ]
         ).collect()[0]
         for df in (ex, cand, probed, new_rows, new_norms, scheduled, blocked,
-                   allowed, eligible, counters):
+                   allowed, eligible, counters, *cached):
             df.unpersist()
         agg = row.asDict()
         agg["batch_id"] = b
