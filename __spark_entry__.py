@@ -224,8 +224,10 @@ def _q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_discover_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5/U1 — batch-1 discovery: outlinks of fetched pages, canonical,
-    deduped, not already in the frontier (rows-only check: redirect
-    resolution + canonicalization are not SQL-expressible)."""
+    deduped, not already in the frontier.  The DuckDB twin re-derives the
+    whole leg independently: regexp href extraction vs the HTMLParser
+    UDF, percent-escape replace chain vs urllib redirect decode, and the
+    param-sort canonical form vs canonicalize_url."""
     from crawlfront.frontier import discover_candidates
 
     fx = _fx(sf_dir)
@@ -545,6 +547,17 @@ def _phash_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::bigint"
 
 
+def _canon_sql(expr: str) -> str:
+    """DuckDB twin of canonicalize_url for the synthetic corpus: fixture
+    URLs are already canonical except for query-param order, so the twin
+    is an independent param re-sort (the canonicalizer sorts params by
+    (key, value); values here are alphanumeric, no escapes)."""
+    return f"""CASE WHEN contains({expr}, '?')
+               THEN split_part({expr}, '?', 1) || '?' ||
+                    array_to_string(list_sort(string_split(split_part({expr}, '?', 2), '&')), '&')
+               ELSE {expr} END"""
+
+
 def oracle_sql() -> dict[str, str]:
     # pages is a directory of part files (parallel-scan layout) — DuckDB
     # reads it via glob; row order across files follows the part numbering
@@ -676,12 +689,45 @@ def oracle_sql() -> dict[str, str]:
         # URLs (?q=kwN&pn=0, alnum values) are otherwise already canonical,
         # so an independent param re-sort is the exact twin
         "p1_canonicalize": f"""
-          SELECT url,
-                 CASE WHEN contains(url, '?')
-                   THEN split_part(url, '?', 1) || '?' ||
-                        array_to_string(list_sort(string_split(split_part(url, '?', 2), '&')), '&')
-                   ELSE url END AS url_norm
+          SELECT url, {_canon_sql('url')} AS url_norm
           FROM {seeds}""",
+        # J5 — fully independent rederivation: regexp href scrape (vs the
+        # HTMLParser UDF), percent-escape replace chain (vs urllib
+        # unquote; the fixture encoder quote(safe='') only ever escapes
+        # the 5 URL specials present in synthetic targets), param-sort
+        # canonical form, min-(seed_rank, link) parent pick, anti-join
+        # against the canonicalized seed frontier
+        "j5_discover_links": schedule_sql
+        + f"""
+          , fetched AS (
+              SELECT e.seed_rank, decode(p.html) AS doc
+              FROM eligible e JOIN {pages} p USING (url)),
+          raw_links AS (
+              SELECT seed_rank, unnest(regexp_extract_all(doc, 'href="([^"]*)"', 1)) AS href
+              FROM fetched),
+          resolved AS (
+              SELECT seed_rank,
+                     CASE WHEN contains(href, '/link?url=')
+                       THEN replace(replace(replace(replace(replace(
+                              regexp_extract(href, 'url=([^&]*)', 1),
+                              '%3A', ':'), '%2F', '/'), '%3F', '?'), '%3D', '='), '%26', '&')
+                       ELSE href END AS link
+              FROM raw_links),
+          canon AS (
+              SELECT seed_rank, link, {_canon_sql('link')} AS url_norm
+              FROM resolved),
+          cand AS (
+              SELECT url_norm FROM (
+                SELECT url_norm,
+                       row_number() OVER (PARTITION BY url_norm
+                                          ORDER BY seed_rank, link) AS rn
+                FROM canon) WHERE rn = 1),
+          frontier0 AS (SELECT DISTINCT {_canon_sql('url')} AS url_norm FROM {seeds})
+          SELECT c.url_norm,
+                 regexp_extract(c.url_norm, '^https?://([^/]+)', 1) AS host,
+                 1::int AS depth, 1::int AS priority
+          FROM cand c ANTI JOIN frontier0 f USING (url_norm)
+          ORDER BY url_norm""",
         "u1_union_distinct": """
           SELECT c_custkey AS k FROM customer
           UNION
