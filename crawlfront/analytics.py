@@ -325,10 +325,17 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 5,
     """Brute-force cosine top-k: broadcast the (small) query side against
     the full corpus — the exact baseline every ANN variant is judged
     against.  Ranks are total-ordered (sim desc, vec_id asc)."""
-    emb = _read(spark, sf_dir, "embeddings", parallel=True).select("vec_id", "embedding")
+    # norms hoisted OUT of the crossJoin: one O(dim) aggregate per vector
+    # / per query, not per pair (same float product → same rounded cos)
+    emb = (
+        _read(spark, sf_dir, "embeddings", parallel=True)
+        .select("vec_id", "embedding")
+        .withColumn("ne", _norm(F.col("embedding")))
+    )
     queries = (
         emb.orderBy("vec_id").limit(n_queries)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"),
+                F.col("ne").alias("nq"))
     )
     scored = (
         emb.crossJoin(F.broadcast(queries))
@@ -336,7 +343,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 5,
         .withColumn(
             "cos",
             F.round(_dot(F.col("q"), F.col("embedding"))
-                    / (_norm(F.col("q")) * _norm(F.col("embedding"))), 6),
+                    / (F.col("nq") * F.col("ne")), 6),
         )
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -364,12 +371,16 @@ def _sampled_centroids(emb: DataFrame, n_centroids: int) -> DataFrame:
     with the smallest portable hash of their vec_id (uniform over the
     corpus, engine-portable, no ``rand()``) — not first-N by id, which
     at corpus scale is one shard's vectors and badly unrepresentative.
-    The sort is a top-N (TakeOrdered), never a full global sort."""
+    The sort is a top-N (TakeOrdered), never a full global sort.
+    ``emb`` must carry the precomputed norm column ``ne`` (hoisted once
+    per vector; carried here as ``nc`` so assignment/probe cross-joins
+    never re-norm per pair)."""
     return (
         emb.withColumn("ph", portable_hash64(F.col("vec_id").cast("string")))
         .orderBy("ph", "vec_id")
         .limit(n_centroids)
-        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c"))
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c"),
+                F.col("ne").alias("nc"))
     )
 
 
@@ -390,22 +401,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 
     clustered production embeddings reach the same recall with far
     smaller nprobe.  Candidate pairs reached via several shared buckets
     are deduped before ranking."""
-    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        .withColumn("ne", _norm(F.col("embedding")))
+    )
     if n_centroids is None:
         n_centroids = scaled_n_centroids(emb.count())
     cents = _sampled_centroids(emb, n_centroids)
-    assigned = _centroid_assignment(emb, n_centroids, n_assign=n_assign)
+    assigned = _centroid_assignment(emb, cents, n_assign=n_assign)
     queries = (
         emb.orderBy("vec_id").limit(n_queries)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"),
+                F.col("ne").alias("nq"))
     )
     wprobe = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
     probes = (
         queries.crossJoin(F.broadcast(cents))
-        .withColumn("csim", F.round(_dot("q", "c") / (_norm("q") * _norm("c")), 9))
+        .withColumn("csim", F.round(_dot("q", "c") / (F.col("nq") * F.col("nc")), 9))
         .withColumn("prk", F.row_number().over(wprobe))
         .filter(F.col("prk") <= nprobe)
-        .select("query_id", "q", "cent_id")
+        .select("query_id", "q", "nq", "cent_id")
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -413,7 +428,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 
         .filter(F.col("vec_id") != F.col("query_id"))
         # a vector reachable through several probed buckets appears once
         .dropDuplicates(["query_id", "vec_id"])
-        .withColumn("cos", F.round(_dot("q", "embedding") / (_norm("q") * _norm("embedding")), 6))
+        .withColumn("cos", F.round(_dot("q", "embedding") / (F.col("nq") * F.col("ne")), 6))
         .withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos",
@@ -421,21 +436,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 
     )
 
 
-def _centroid_assignment(emb: DataFrame, n_centroids: int,
+def _centroid_assignment(emb: DataFrame, cents: DataFrame,
                          n_assign: int = 1) -> DataFrame:
     """Deterministic coarse-centroid assignment (shared by ann_ivf_topk
-    and dedup_embedding): hash-sampled centroids (``_sampled_centroids``);
+    and dedup_embedding): ``cents`` from ``_sampled_centroids`` (passed
+    in, not recomputed — the caller usually needs it again for probes);
     every vector goes to its ``n_assign`` highest-cosine centroids (ties
     → lowest cent_id).  In a real deployment this is a write-time
     bucketing."""
-    cents = _sampled_centroids(emb, n_centroids)
     wassign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
     return (
         emb.crossJoin(F.broadcast(cents))
-        .withColumn("csim", F.round(_dot("embedding", "c") / (_norm("embedding") * _norm("c")), 9))
+        .withColumn("csim", F.round(_dot("embedding", "c") / (F.col("ne") * F.col("nc")), 9))
         .withColumn("ark", F.row_number().over(wassign))
         .filter(F.col("ark") <= n_assign)
-        .select("vec_id", "embedding", "cent_id")
+        .select("vec_id", "embedding", "ne", "cent_id")
     )
 
 
@@ -448,10 +463,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str, cos_threshold: float = 0.3
     the per-bucket self-join is O(n) total work, not O(n²/k) with fixed
     k).  Blocking recall is bounded by bucket granularity, like every
     IVF-style near-dup pass."""
-    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        .withColumn("ne", _norm(F.col("embedding")))
+    )
     if n_centroids is None:
         n_centroids = scaled_n_centroids(emb.count())
-    assigned = _centroid_assignment(emb, n_centroids)
+    assigned = _centroid_assignment(emb, _sampled_centroids(emb, n_centroids))
     return (
         assigned.alias("l")
         .join(assigned.alias("r"), "cent_id")
@@ -460,7 +478,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str, cos_threshold: float = 0.3
             "cos",
             F.round(
                 _dot(F.col("l.embedding"), F.col("r.embedding"))
-                / (_norm(F.col("l.embedding")) * _norm(F.col("r.embedding"))),
+                / (F.col("l.ne") * F.col("r.ne")),
                 6,
             ),
         )
