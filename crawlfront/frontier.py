@@ -37,6 +37,8 @@ from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import functions as F
 
 from . import bloom
@@ -747,6 +749,20 @@ class CrawlEngine:
         new_rows = cand.join(new_norms, "url_norm", "left_semi").select(*FRONTIER_COLS).persist()
         _mark("discover_dedup")
 
+        # --- independent sinks, written CONCURRENTLY -------------------
+        # frontier / seen_keys / bloom shards / counters have no
+        # inter-dependency (all derive from the persisted frames above),
+        # so each runs as its own Spark job from a thread.  Sequentially
+        # they cost ~4 small jobs' worth of stage-scheduling latency per
+        # batch; in parallel the scheduler interleaves their (tiny)
+        # stages across idle cores — the same property that lets a real
+        # cluster overlap sink I/O.  Concurrent first-touch of a
+        # persisted frame is safe: the block manager's per-partition
+        # cache lock makes one thread compute while others wait, never
+        # duplicating work.  The manifest commit stays strictly AFTER
+        # every sink has durably written (crash mid-batch → resume
+        # re-runs the whole batch, unchanged).
+
         # frontier transition for scheduled rows
         sched_after = ex.select(
             *[c for c in FRONTIER_COLS if c not in ("state", "retry_count")],
@@ -773,45 +789,44 @@ class CrawlEngine:
         f_deltas = man.get("frontier_deltas", [])
         f_compact = (cfg.frontier_commit == "snapshot"
                      or len(f_deltas) + 1 >= cfg.compact_every)
-        if f_compact:
-            unscheduled = (
-                allowed.join(scheduled.select("url_norm"), "url_norm", "left_anti")
-                .select(*FRONTIER_COLS)
-            )
-            new_frontier = (
-                rest.select(*FRONTIER_COLS)
-                .unionByName(unscheduled)
-                .unionByName(frontier_delta)
-            )
-            self._write_snapshot(new_frontier, "frontier", b, pk)
-            frontier_base, f_deltas = b, []
-        else:
+
+        def write_frontier() -> tuple[int, list[int]]:
+            if f_compact:
+                unscheduled = (
+                    allowed.join(scheduled.select("url_norm"), "url_norm", "left_anti")
+                    .select(*FRONTIER_COLS)
+                )
+                new_frontier = (
+                    rest.select(*FRONTIER_COLS)
+                    .unionByName(unscheduled)
+                    .unionByName(frontier_delta)
+                )
+                self._write_snapshot(new_frontier, "frontier", b, pk)
+                return b, []
             self._write_delta(frontier_delta, "frontier", b, pk)
-            frontier_base, f_deltas = self._base_id(man, "frontier"), f_deltas + [b]
-        _mark("frontier_write")
+            return self._base_id(man, "frontier"), f_deltas + [b]
 
         # seen_keys (append-only: O(new) write, kb-partitioned) + bloom
         # shards (delta mode: only TOUCHED shards are rewritten — a full
         # shard-table rewrite per batch is ~12 GB at design scale even
         # for a 1-row batch)
-        self._write_seen_append(new_rows, b)
         new_keys = new_rows.select("url_hash32", "url_hash64")
         u_deltas = man.get("url_seen_deltas", [])
         u_compact = (cfg.frontier_commit == "snapshot"
                      or len(u_deltas) + 1 >= cfg.compact_every)
-        if u_compact:
-            shards2 = self._filter_update(shards, new_keys, batch_id=b)
-            self._write_snapshot(shards2, "url_seen", b)
-            url_seen_base, u_deltas = b, []
-        else:
+
+        def write_shards() -> tuple[int, list[int]]:
+            if u_compact:
+                shards2 = self._filter_update(shards, new_keys, batch_id=b)
+                self._write_snapshot(shards2, "url_seen", b)
+                return b, []
             touched = new_keys.select(
                 bloom.shard_col(F.col("url_hash32"), cfg.n_shards).alias("shard")
             ).distinct()
             old_touched = shards.join(touched, "shard", "left_semi")
             delta_shards = self._filter_update(old_touched, new_keys, batch_id=b)
             self._write_delta(delta_shards, "url_seen", b)
-            url_seen_base, u_deltas = self._base_id(man, "url_seen"), u_deltas + [b]
-        _mark("seen_bloom_write")
+            return self._base_id(man, "url_seen"), u_deltas + [b]
 
         # per-partition counters + lineage (A2/S6) — grouped by the
         # LOGICAL partition key, so counters are parallelism-invariant.
@@ -860,8 +875,20 @@ class CrawlEngine:
             F.lit(lineage).alias("lineage"),
         )
         counters = counters.persist()
-        counters.write.mode("overwrite").parquet(self.ckpt.append_dir("counters", b))
-        _mark("counters_write")
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            fut_frontier = pool.submit(write_frontier)
+            fut_seen = pool.submit(self._write_seen_append, new_rows, b)
+            fut_shards = pool.submit(write_shards)
+            fut_counters = pool.submit(
+                lambda: counters.write.mode("overwrite")
+                .parquet(self.ckpt.append_dir("counters", b))
+            )
+            frontier_base, f_deltas = fut_frontier.result()
+            url_seen_base, u_deltas = fut_shards.result()
+            fut_seen.result()
+            fut_counters.result()
+        _mark("sinks_parallel")
 
         n_scheduled = obs.get["n_scheduled"]
 
