@@ -310,6 +310,41 @@ def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_host_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — hierarchy aggregate: (host, lang) rollup over pages (per-host
+    per-lang, per-host subtotal, grand total in one pass)."""
+    return (
+        scan_pages(spark, _fx(sf_dir))
+        .withColumn("host", host_of("url"))
+        .rollup("host", "lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"),
+             F.sum(F.length("text")).alias("total_chars"))
+    )
+
+
+#: J7 tier bounds: [lo, hi] page-count bands (inclusive); the top band is
+#: open-ended via a large sentinel
+_TIERS = [(0, 9, "t0_small"), (10, 99, "t1_medium"),
+          (100, 999, "t2_large"), (1000, 1 << 40, "t3_huge")]
+
+
+def _q_theta_host_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — theta (range) join: classify every host's page count into a
+    size tier via an inequality join against a tiny bounds table
+    (BroadcastNestedLoopJoin — the broadcast side is 4 rows, so the scan
+    side streams with no shuffle at any corpus size)."""
+    stats = (
+        scan_pages(spark, _fx(sf_dir))
+        .groupBy(host_of("url").alias("host"))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    tiers = spark.createDataFrame(_TIERS, "lo long, hi long, tier string")
+    return stats.join(
+        F.broadcast(tiers),
+        (stats["n_pages"] >= tiers["lo"]) & (stats["n_pages"] <= tiers["hi"]),
+    ).select("host", "n_pages", "tier")
+
+
 def _q_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_pages(spark, _fx(sf_dir)).agg(
         F.countDistinct("url").alias("n_urls"),
@@ -507,6 +542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refresh_gates": _q_refresh_gates,
         "o3_topk_hot_hosts": _q_topk_hot_hosts,
         "a1_host_stats": _q_host_stats,
+        "a6_rollup_host_lang": _q_rollup_host_lang,
+        "j7_theta_host_tiers": _q_theta_host_tiers,
         "a3_cardinality": _q_cardinality,
         "x1_x3_hash_partition": _q_hash_partition,
         "d3_extract_text_invariant": _q_extract_text_invariant,
@@ -764,6 +801,19 @@ def oracle_sql() -> dict[str, str]:
           SELECT {_HOST_SQL} AS host, count(*) AS n_pages FROM {pages}
           GROUP BY 1 ORDER BY n_pages DESC, host ASC LIMIT 10""",
         "a1_host_stats": f"SELECT {_HOST_SQL} AS host, count(*) AS n_pages FROM {pages} GROUP BY 1",
+        "a6_rollup_host_lang": f"""
+          WITH p AS (SELECT {_HOST_SQL} AS host, lang, text FROM {pages})
+          SELECT host, lang, count(*) AS n_pages,
+                 sum(length(text))::bigint AS total_chars
+          FROM p GROUP BY ROLLUP (host, lang)""",
+        "j7_theta_host_tiers": f"""
+          WITH stats AS (SELECT {_HOST_SQL} AS host, count(*) AS n_pages
+                         FROM {pages} GROUP BY 1),
+          tiers(lo, hi, tier) AS (VALUES
+            (0, 9, 't0_small'), (10, 99, 't1_medium'),
+            (100, 999, 't2_large'), (1000, 1099511627776, 't3_huge'))
+          SELECT host, n_pages, tier
+          FROM stats JOIN tiers ON n_pages BETWEEN lo AND hi""",
         "a3_cardinality": f"SELECT count(DISTINCT url) AS n_urls, count(DISTINCT {_HOST_SQL}) AS n_hosts FROM {pages}",
         "d3_extract_text_invariant": f"SELECT count(*) AS n_pages, count(*) AS n_text_match FROM {pages}",
         "x6_time_buckets": f"SELECT date_trunc('day', warc_ts) AS day, count(*) AS n_pages FROM {pages} GROUP BY 1",

@@ -106,7 +106,9 @@ def run_drain(spark, sf: float, n_batches: int, cfg=None, warmup: int = 1) -> di
             commit_bytes += cb
             per_batch.append({"batch": agg["batch_id"], "rows": r,
                               "sec": round(dt, 3),
-                              "commit_mb": round(cb / 1e6, 2)})
+                              "commit_mb": round(cb / 1e6, 2),
+                              "timings": {k: v for k, v in eng.last_timings.items()
+                                          if k != "commit_bytes"}})
         dt_all = time.monotonic() - t_all
         return {
             "drain_batches": n_batches,
@@ -233,10 +235,15 @@ def scaling_cfg():
 
     # snapshot commits: mega-batches change ~every frontier row, so a
     # delta IS the full table there — only the merge-on-read overhead
-    # would remain (BASELINE.md §commit-modes)
+    # would remain (BASELINE.md §commit-modes).  bucketed_fetch: the
+    # mega-batch scale path — J3 against the url-bucketed pages table
+    # (ingest-time layout), so neither html nor extracted text is ever
+    # shuffled; without it the unbounded drain falls back to a shuffled
+    # semi-join that exchanges the whole pages corpus every batch (the
+    # single shared sandbox disk then serializes all cores).
     return EngineConfig(budget_scale=10_000, unbounded_drain=True,
                         n_shards=256, shard_capacity=100_000,
-                        frontier_commit="snapshot")
+                        frontier_commit="snapshot", bucketed_fetch=True)
 
 
 def drain_once(sf: float, cores: int, n_batches: int) -> dict:

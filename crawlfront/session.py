@@ -45,6 +45,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("CRAWLFRONT_DRIVER_MEM", "8g"))
     )
+    # shuffle/spill scratch dir: on a cluster every executor has its own
+    # local disks; in this single-box sandbox all "executors" share ONE
+    # ~273 MB/s disk, which serializes shuffle I/O and caps scaling
+    # measurements far below the CPU ceiling.  CRAWLFRONT_LOCAL_DIR
+    # (e.g. /dev/shm/sparktmp) emulates per-executor local disks for the
+    # scaling bench; durable table commits still go to the real disk.
+    local_dir = os.environ.get("CRAWLFRONT_LOCAL_DIR")
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     if master:
         b = b.master(master)
     for k, v in (extra_conf or {}).items():
