@@ -168,6 +168,24 @@ def _burn(_arg):
     return x
 
 
+def _copy_mb(_arg):
+    # memory-bandwidth probe: stream-copy a buffer much larger than LLC
+    # for 2 s, return MB copied.  Spark's hot loops (parquet decode,
+    # Arrow transfer, shuffle serialization, Python string building) are
+    # bandwidth-bound, so THIS — not the pure-ALU burn loop — is the
+    # hardware ceiling that actually binds the drain at high core counts.
+    import numpy as np
+
+    src = np.random.default_rng(0).integers(0, 255, 64 * 1024 * 1024, dtype=np.uint8)
+    dst = np.empty_like(src)
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < 2.0:
+        np.copyto(dst, src)
+        n += src.nbytes
+    return n // (1024 * 1024)
+
+
 def platform_ceiling(cores_low: int = 8, cores_high: int = 32) -> dict:
     """Measured hardware scaling ceiling of this sandbox: total
     throughput of N independent pure-CPU processes at N=8 vs N=32.
@@ -178,45 +196,72 @@ def platform_ceiling(cores_low: int = 8, cores_high: int = 32) -> dict:
     efficiency is reported both raw and normalized by it."""
     import multiprocessing as mp
 
-    out = {}
+    out, mem = {}, {}
     for n in (cores_low, cores_high):
         with mp.Pool(n) as pool:
             out[n] = sum(pool.map(_burn, range(n)))
-    ratio = out[cores_high] / out[cores_low]
+        with mp.Pool(n) as pool:
+            mem[n] = sum(pool.map(_copy_mb, range(n)))
     factor = cores_high / cores_low
+    ratio = out[cores_high] / out[cores_low]
+    mratio = mem[cores_high] / mem[cores_low]
     return {f"iters_{cores_low}": out[cores_low], f"iters_{cores_high}": out[cores_high],
-            "ceiling": round(ratio / factor, 3), "speedup": round(ratio, 2)}
+            "ceiling": round(ratio / factor, 3), "speedup": round(ratio, 2),
+            f"membw_mb_{cores_low}": mem[cores_low],
+            f"membw_mb_{cores_high}": mem[cores_high],
+            "mem_ceiling": round(mratio / factor, 3), "mem_speedup": round(mratio, 2)}
 
 
 def bench_scaling(sf: float, n_batches: int, cores_low: int = 8,
-                  cores_high: int = 32) -> dict:
-    """Same drain job, identical input/seed/config, local[8] then
-    local[32] — the sandbox stand-in for N vs 4N executors.
+                  cores_high: int = 32, repeats: int = 2) -> dict:
+    """Same drain job, identical input/seed/config, at local[N] and
+    local[4N] — the sandbox stand-in for N vs 4N executors.
 
     Uses a throughput-oriented config (large drain_k, effectively
     unlimited default politeness budget — the per-host hot-host caps in
     the politeness fixture still apply) so the timed batches are
-    compute-bound (extraction + dedup + bloom over tens of thousands of
-    pages), not dominated by per-job scheduling overhead that no number
-    of cores can shrink."""
+    compute-bound (extraction + dedup + bloom over hundreds of thousands
+    of pages), not dominated by per-job scheduling overhead that no
+    number of cores can shrink.
+
+    Measurement discipline (this sandbox is a SHARED VM with
+    time-varying external CPU steal — the pure-CPU burn probe's 8->32
+    speedup was observed anywhere between 1.33x and 3.13x minutes
+    apart):
+      - levels run INTERLEAVED (L,H,L,H,...) so slow drift hits both;
+      - ``repeats`` samples per level, per-level BEST throughput is the
+        estimator (external steal only ever subtracts capacity, so the
+        max is the least-contaminated observation of the machine);
+      - each sample runs in a FRESH subprocess (a reused driver JVM
+        inherits JIT-compiled codegen from the previous run — observed
+        2x super-linear inflation);
+      - a burn+membw ceiling probe brackets the samples, recording what
+        the HARDWARE allowed at that moment."""
     import subprocess
 
-    out: dict[str, dict] = {}
-    for cores in (cores_low, cores_high):
-        # EACH level in a FRESH subprocess: reusing one driver JVM lets
-        # the second run inherit JIT-compiled codegen from the first,
-        # which inflates its throughput (observed 2x super-linear).
+    def one(cores: int) -> dict:
         proc = subprocess.run(
             [sys.executable, __file__, "--drain-once", "--cpus", str(cores),
              "--sf", str(sf), "--batches", str(n_batches)],
             capture_output=True, text=True, check=True,
         )
-        out[str(cores)] = json.loads(proc.stdout.strip().splitlines()[-1])
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    ceiling_pre = platform_ceiling(cores_low, cores_high)
+    samples: dict[str, list[dict]] = {str(cores_low): [], str(cores_high): []}
+    for _ in range(repeats):
+        for cores in (cores_low, cores_high):
+            samples[str(cores)].append(one(cores))
+    ceiling_post = platform_ceiling(cores_low, cores_high)
+
     factor = cores_high / cores_low
-    ceiling = platform_ceiling(cores_low, cores_high)
-    thr_lo = out[str(cores_low)]["drain_urls_per_sec"]
-    thr_hi = out[str(cores_high)]["drain_urls_per_sec"]
+    best = {
+        k: max(v, key=lambda d: d["drain_urls_per_sec"]) for k, v in samples.items()
+    }
+    thr_lo = best[str(cores_low)]["drain_urls_per_sec"]
+    thr_hi = best[str(cores_high)]["drain_urls_per_sec"]
     eff = round(thr_hi / (factor * thr_lo), 3) if thr_lo else 0.0
+    ceil = max(ceiling_pre["ceiling"], ceiling_post["ceiling"])
     return {
         "metric": f"scaling_efficiency_local{cores_low}_to_local{cores_high}",
         "value": eff,
@@ -224,9 +269,12 @@ def bench_scaling(sf: float, n_batches: int, cores_low: int = 8,
         "sf": sf,
         f"thr_local{cores_low}_urls_per_sec": thr_lo,
         f"thr_local{cores_high}_urls_per_sec": thr_hi,
-        "platform_ceiling": ceiling,
-        "normalized_efficiency": round(eff / ceiling["ceiling"], 3) if ceiling["ceiling"] else None,
-        "detail": out,
+        "samples": {
+            k: [d["drain_urls_per_sec"] for d in v] for k, v in samples.items()
+        },
+        "platform_ceiling": {"pre": ceiling_pre, "post": ceiling_post},
+        "normalized_efficiency": round(eff / ceil, 3) if ceil else None,
+        "detail": best,
     }
 
 
@@ -281,11 +329,13 @@ def main() -> int:
                     help="crawl-fixture scale for --scaling mode")
     ap.add_argument("--cores-low", type=int, default=8)
     ap.add_argument("--cores-high", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
     if args.drain_once:
         result = drain_once(args.sf, args.cpus, args.batches)
     elif args.scaling:
-        result = bench_scaling(args.sf, args.batches, args.cores_low, args.cores_high)
+        result = bench_scaling(args.sf, args.batches, args.cores_low,
+                               args.cores_high, args.repeats)
     else:
         result = bench_default(args.sf_dir, args.cpus)
     print(json.dumps(result))

@@ -874,20 +874,38 @@ class CrawlEngine:
             F.col("failed").cast("long"),
             F.lit(lineage).alias("lineage"),
         )
-        counters = counters.persist()
+        # batch summary via a second Observation measured DURING the
+        # counters write — no separate agg job, no persist needed
+        cobs = Observation(f"batch-{b}-counters")
+        counters = counters.observe(
+            cobs,
+            *[
+                F.coalesce(F.sum(c), F.lit(0)).alias(c)
+                for c in ("fetched", "deduped", "robots_blocked",
+                          "politeness_deferred", "failed")
+            ],
+        )
+
+        def _timed(fn, *a):
+            t = _time.monotonic()
+            r = fn(*a)
+            return r, round(_time.monotonic() - t, 3)
 
         with ThreadPoolExecutor(max_workers=4) as pool:
-            fut_frontier = pool.submit(write_frontier)
-            fut_seen = pool.submit(self._write_seen_append, new_rows, b)
-            fut_shards = pool.submit(write_shards)
+            fut_frontier = pool.submit(_timed, write_frontier)
+            fut_seen = pool.submit(_timed, self._write_seen_append, new_rows, b)
+            fut_shards = pool.submit(_timed, write_shards)
             fut_counters = pool.submit(
+                _timed,
                 lambda: counters.write.mode("overwrite")
-                .parquet(self.ckpt.append_dir("counters", b))
+                .parquet(self.ckpt.append_dir("counters", b)),
             )
-            frontier_base, f_deltas = fut_frontier.result()
-            url_seen_base, u_deltas = fut_shards.result()
-            fut_seen.result()
-            fut_counters.result()
+            (frontier_base, f_deltas), t_f = fut_frontier.result()
+            (url_seen_base, u_deltas), t_sh = fut_shards.result()
+            _, t_se = fut_seen.result()
+            _, t_c = fut_counters.result()
+        timings["sink_each"] = {"frontier": t_f, "shards": t_sh,
+                                "seen": t_se, "counters": t_c}
         _mark("sinks_parallel")
 
         n_scheduled = obs.get["n_scheduled"]
@@ -900,19 +918,12 @@ class CrawlEngine:
                    "frontier_deltas": f_deltas, "url_seen_deltas": u_deltas,
                    **(extra_manifest or {})},
         )
-        # batch summary from the (tiny, persisted) counters of THIS batch —
-        # not a re-read of every committed batch dir
-        row = counters.agg(
-            *[
-                F.coalesce(F.sum(c), F.lit(0)).alias(c)
-                for c in ("fetched", "deduped", "robots_blocked",
-                          "politeness_deferred", "failed")
-            ]
-        ).collect()[0]
+        # batch summary from the counters-write Observation — measured in
+        # passing, not a re-read of every committed batch dir
         for df in (ex, cand, probed, new_rows, new_norms, scheduled, blocked,
-                   allowed, eligible, counters, *cached):
+                   allowed, eligible, *cached):
             df.unpersist()
-        agg = row.asDict()
+        agg = {k: (v or 0) for k, v in cobs.get.items()}
         agg["batch_id"] = b
         agg["scheduled"] = n_scheduled
         _mark("commit_readback")
