@@ -34,6 +34,7 @@ from crawlfront.frontier import (
     scan_seeds,
 )
 from crawlfront.ops import hash32_of, hash64_of, host_of, partition_key, path_of, robots_allow
+from crawlfront.sqlhash import murmur3_ctes, pmod_sql, xxhash64_ctes
 
 # the oracle runs at sf0.01 — fixture paths are baked into the SQL strings
 _FX = str(Path(__file__).resolve().parent / "fixtures" / "sf0.01")
@@ -42,6 +43,11 @@ _FX = str(Path(__file__).resolve().parent / "fixtures" / "sf0.01")
 # far below any cap; the >10k global_index routing and unbounded_drain
 # remain the engine's scale paths, covered by test_unbounded_drain)
 _CFG = EngineConfig(drain_k=5_000)
+
+# a4 twin sizing constants (config-derived, data-independent)
+from crawlfront.bloom import bloom_params as _bloom_params  # noqa: E402
+
+_A4_NBITS, _A4_NHASHES = _bloom_params(_CFG.shard_capacity, _CFG.bloom_fpp)
 
 # DuckDB twins of the URL helpers (regex on the synthetic URLs, which are
 # already canonical — an independent computation path from F.parse_url)
@@ -242,8 +248,9 @@ def _q_discover_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bloom_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4/D4 — bloom build over the seed frontier; per-shard stats
-    (deterministic popcounts; murmur3 bit math has no SQL twin)."""
+    """A4/D4 — bloom build over the seed frontier; per-shard stats.
+    Oracle twin recomputes the murmur3 shard assignment in DuckDB SQL
+    (crawlfront/sqlhash.py)."""
     from crawlfront import bloom
 
     fx = _fx(sf_dir)
@@ -353,9 +360,10 @@ def _q_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_hash_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1/X2/X3 — murmur3/xxhash64/partition keys (no SQL twin: Spark's
-    murmur3 is engine-specific; exactness vs the Python twin is covered in
-    tests/test_hashing.py)."""
+    """X1/X2/X3 — murmur3/xxhash64/partition keys.  The oracle twin
+    recomputes Spark's exact murmur3-32 AND xxhash64 inside DuckDB
+    (recursive-CTE reimplementation, crawlfront/sqlhash.py); exactness of
+    the Python twin vs Spark is separately pinned in tests/test_hashing.py."""
     pages = scan_pages(spark, _fx(sf_dir)).select("url")
     df = pages.withColumn("host", host_of("url")).select(
         "url",
@@ -990,4 +998,33 @@ def oracle_sql() -> dict[str, str]:
                  (octet_length(html) % 640)::int AS width,
                  (octet_length(html) % 480)::int AS height
           FROM {pages}""",
+        # X1–X3 — Spark murmur3-32 / xxhash64 / partition keys, recomputed
+        # bit-for-bit inside DuckDB (recursive-CTE reimplementation,
+        # crawlfront/sqlhash.py, pinned by tests/test_sqlhash.py)
+        "x1_x3_hash_partition": f"""
+          WITH RECURSIVE
+          src AS (SELECT url, {_HOST_SQL} AS host FROM {pages}),
+          {murmur3_ctes("mu", "src", "url")},
+          {xxhash64_ctes("xu", "src", "url")},
+          {murmur3_ctes("mh", "src", "host")}
+          SELECT s.url, mu.h32 AS url_hash32, xu.h64 AS url_hash64,
+                 mh.h32 AS host_hash,
+                 {pmod_sql("mh.h32::bigint + " + pmod_sql("xu.h64", 8), 32)}::int AS pk
+          FROM src s
+          JOIN mu_m mu ON mu.v = s.url
+          JOIN xu_x xu ON xu.v = s.url
+          JOIN mh_m mh ON mh.v = s.host""",
+        # A4 — bloom shard assignment: canonicalized seed frontier hashed
+        # with the murmur3 twin, sharded by pmod; n_bits/n_hashes are the
+        # config-derived sizing constants (data-independent)
+        "a4_bloom_shard_stats": f"""
+          WITH RECURSIVE
+          sl AS (SELECT DISTINCT {_canon_sql('url')} AS url_norm FROM {seeds}),
+          {murmur3_ctes("a4", "sl", "url_norm")},
+          cnt AS (SELECT {pmod_sql('h32', _CFG.n_shards)}::int AS shard,
+                         count(*) AS n FROM a4_m GROUP BY 1),
+          allsh AS (SELECT unnest(range({_CFG.n_shards}))::int AS shard)
+          SELECT a.shard, coalesce(cnt.n, 0)::bigint AS n_items,
+                 {_A4_NBITS}::bigint AS n_bits, {_A4_NHASHES}::int AS n_hashes
+          FROM allsh a LEFT JOIN cnt USING (shard)""",
     }
