@@ -266,7 +266,9 @@ def _q_bloom_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_drain_2batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T2 — two checkpointed micro-batches end-to-end; returns the
-    per-batch counter totals (deterministic at any parallelism)."""
+    per-batch counter totals (deterministic at any parallelism).  The
+    oracle twin rederives both batches as one SQL statement (gate →
+    budget-rank → fetch → discover → dedup, chained)."""
     import tempfile
 
     from crawlfront.frontier import CrawlEngine
@@ -694,6 +696,83 @@ def oracle_sql() -> dict[str, str]:
                          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS csim
                  FROM e CROSS JOIN c)"""
 
+    # ---- T1/T2 twin: the 2-batch drain as pure SQL ----------------------
+    # One batch = gate (robots longest-prefix) → politeness budget rank →
+    # fetch (join pages) → link discovery (the j5 regexp/replace-chain
+    # rederivation) → dedup vs the seen set.  Batch 2 runs the same step
+    # over (deferred ∪ missed-retry ∪ newly discovered) pending rows.
+    def drain_batch_sql(i: int, pending: str, seen: str) -> str:
+        return f"""
+        g{i} AS (SELECT p.*,
+                 regexp_extract(url_norm, '^https?://([^/]+)', 1) AS host,
+                 coalesce(nullif(regexp_extract(url_norm, '^https?://[^/]+(/[^?#]*)', 1), ''), '/') AS path
+                 FROM {pending} p),
+        ga{i} AS (SELECT g.*, coalesce(
+                   (SELECT r.allow FROM rules_flat r
+                     WHERE r.host = g.host AND starts_with(g.path, r.prefix)
+                     ORDER BY length(r.prefix) DESC, r.prefix LIMIT 1), TRUE) AS allow
+                  FROM g{i} g),
+        blocked{i} AS (SELECT * FROM ga{i} WHERE NOT allow),
+        allowed{i} AS (SELECT ga{i}.*, coalesce(pol.budget, {_CFG.default_budget}) AS budget
+                       FROM ga{i} LEFT JOIN {politeness} pol USING (host) WHERE allow),
+        rk{i} AS (SELECT *, row_number() OVER (
+                    PARTITION BY host ORDER BY priority, seed_rank, depth, url_norm) AS host_rank
+                  FROM allowed{i}),
+        elig{i} AS (SELECT * FROM rk{i} WHERE host_rank <= budget),
+        hit{i} AS (SELECT e.*, p.html FROM elig{i} e JOIN {pages} p USING (url)
+                   WHERE p.html IS NOT NULL),
+        miss{i} AS (SELECT * FROM elig{i} ANTI JOIN hit{i} USING (url_norm)),
+        links{i} AS (SELECT seed_rank, depth,
+                       unnest(regexp_extract_all(decode(html), 'href="([^"]*)"', 1)) AS href
+                     FROM hit{i}),
+        res{i} AS (SELECT seed_rank, depth,
+                     CASE WHEN contains(href, '/link?url=')
+                       THEN replace(replace(replace(replace(replace(
+                              regexp_extract(href, 'url=([^&]*)', 1),
+                              '%3A', ':'), '%2F', '/'), '%3F', '?'), '%3D', '='), '%26', '&')
+                       ELSE href END AS link
+                   FROM links{i}),
+        cn{i} AS (SELECT seed_rank, depth, link, {_canon_sql('link')} AS url_norm FROM res{i}
+                  WHERE starts_with(link, 'http://') OR starts_with(link, 'https://')),
+        cand{i} AS (SELECT url_norm, link AS url, seed_rank,
+                           depth + 1 AS priority, depth + 1 AS depth, 0 AS retry
+                    FROM (SELECT *, row_number() OVER (PARTITION BY url_norm
+                            ORDER BY depth, seed_rank, link) AS rn FROM cn{i}) WHERE rn = 1),
+        new{i} AS (SELECT * FROM cand{i} WHERE url_norm NOT IN (SELECT url_norm FROM {seen}))"""
+
+    def drain_counters_sql(i: int) -> str:
+        return f"""
+          SELECT {i}::bigint AS batch_id,
+                 (SELECT count(*) FROM hit{i})::bigint AS fetched,
+                 ((SELECT count(*) FROM cand{i}) - (SELECT count(*) FROM new{i}))::bigint AS deduped,
+                 (SELECT count(*) FROM blocked{i})::bigint AS robots_blocked,
+                 ((SELECT count(*) FROM allowed{i}) - (SELECT count(*) FROM elig{i}))::bigint AS politeness_deferred,
+                 (SELECT count(*) FROM miss{i} WHERE retry + 1 >= {_CFG.max_retries})::bigint AS failed"""
+
+    t1t2_sql = (
+        f"""
+        WITH rr AS (SELECT host, unnest(rules) AS rule FROM {robots}),
+        rules_flat AS (SELECT host, rule.prefix AS prefix, rule.allow AS allow FROM rr),
+        seeds0 AS (SELECT url, seed_rank, priority, {_canon_sql('url')} AS url_norm FROM {seeds}),
+        pend1 AS (SELECT url_norm, url, seed_rank, priority, 0 AS depth, 0 AS retry
+                  FROM (SELECT *, row_number() OVER (PARTITION BY url_norm
+                          ORDER BY seed_rank, priority, url) AS rn FROM seeds0) WHERE rn = 1),
+        seen1 AS (SELECT url_norm FROM pend1),"""
+        + drain_batch_sql(1, "pend1", "seen1")
+        + """,
+        pend2 AS (
+          SELECT url_norm, url, seed_rank, priority, depth, retry FROM rk1 WHERE host_rank > budget
+          UNION ALL
+          SELECT url_norm, url, seed_rank, priority, depth, 1 AS retry FROM miss1
+          UNION ALL
+          SELECT url_norm, url, seed_rank, priority, depth, retry FROM new1),
+        seen2 AS (SELECT url_norm FROM seen1 UNION ALL SELECT url_norm FROM new1),"""
+        + drain_batch_sql(2, "pend2", "seen2")
+        + drain_counters_sql(1)
+        + "\n          UNION ALL"
+        + drain_counters_sql(2)
+    )
+
     schedule_sql = (
         gated(f"SELECT url, seed_rank, priority FROM {seeds}")
         + f"""
@@ -1027,4 +1106,10 @@ def oracle_sql() -> dict[str, str]:
           SELECT a.shard, coalesce(cnt.n, 0)::bigint AS n_items,
                  {_A4_NBITS}::bigint AS n_bits, {_A4_NHASHES}::int AS n_hashes
           FROM allsh a LEFT JOIN cnt USING (shard)""",
+        # T1/T2 — the checkpointed 2-batch drain's per-batch counters,
+        # rederived as one SQL statement (batch 2 consumes batch 1's
+        # deferred/missed/discovered sets; dedup is an anti-join against
+        # the growing seen set — the bloom+confirm two-tier path is
+        # EXACT by construction, so plain set difference is its twin)
+        "t1_t2_drain_2batches": t1t2_sql,
     }
