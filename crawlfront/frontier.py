@@ -712,12 +712,18 @@ class CrawlEngine:
         ex = fetch_and_extract(scheduled, pages,
                                bounded=not cfg.unbounded_drain).persist()
 
-        # results sink (S5)
+        # results sink (S5) — independent of the other sinks, so it joins
+        # the concurrent sink pool below; its job is also what first
+        # materializes the persisted `ex` (the block-manager per-partition
+        # cache lock lets the discovery legs wait on, not recompute, it)
         results = results_from_extract(ex, b)
-        results.select([f.name for f in RESULTS_SCHEMA.fields]).write.mode(
-            "overwrite"
-        ).parquet(self.ckpt.append_dir("results", b))
-        _mark("schedule_fetch_extract_results")
+
+        def write_results() -> None:
+            results.select([f.name for f in RESULTS_SCHEMA.fields]).write.mode(
+                "overwrite"
+            ).parquet(self.ckpt.append_dir("results", b))
+
+        _mark("plan_schedule_fetch")
 
         # discovery + two-tier dedup (D5 bloom prefilter → J4 exact anti-join)
         cand = discover_candidates(ex, cfg, b).persist()
@@ -891,7 +897,8 @@ class CrawlEngine:
             r = fn(*a)
             return r, round(_time.monotonic() - t, 3)
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            fut_results = pool.submit(_timed, write_results)
             fut_frontier = pool.submit(_timed, write_frontier)
             fut_seen = pool.submit(_timed, self._write_seen_append, new_rows, b)
             fut_shards = pool.submit(_timed, write_shards)
@@ -902,10 +909,11 @@ class CrawlEngine:
             )
             (frontier_base, f_deltas), t_f = fut_frontier.result()
             (url_seen_base, u_deltas), t_sh = fut_shards.result()
+            _, t_re = fut_results.result()
             _, t_se = fut_seen.result()
             _, t_c = fut_counters.result()
-        timings["sink_each"] = {"frontier": t_f, "shards": t_sh,
-                                "seen": t_se, "counters": t_c}
+        timings["sink_each"] = {"results": t_re, "frontier": t_f,
+                                "shards": t_sh, "seen": t_se, "counters": t_c}
         _mark("sinks_parallel")
 
         n_scheduled = obs.get["n_scheduled"]

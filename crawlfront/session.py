@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.ui.enabled", "false")
+        # Every action renders its physical-plan description string
+        # (SQLExecutionStart event) with a default cap of ~2 GB; a deep
+        # MOR/union plan late in a long-lived JVM can OOM the driver heap
+        # inside that StringConcat (observed: full pytest suite, delta
+        # shard write).  1 MB is plenty for real plans and bounds the
+        # allocation; retainedExecutions bounds their accumulation.
+        .config("spark.sql.maxPlanStringLength", str(1024 * 1024))
+        .config("spark.sql.ui.retainedExecutions", "50")
         .config("spark.driver.memory", os.environ.get("CRAWLFRONT_DRIVER_MEM", "8g"))
     )
     # shuffle/spill scratch dir: on a cluster every executor has its own
