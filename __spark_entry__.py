@@ -17,6 +17,9 @@ from __future__ import annotations
 from collections.abc import Callable
 from pathlib import Path
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -423,6 +426,99 @@ def _q_throughput_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 (sliding) — overlapping event-time windows via
+    ``F.window(ts, size, slide)``: 12h windows sliding every 6h, so every
+    page lands in exactly two windows.  Spark aligns window starts to
+    epoch multiples of the slide; the DuckDB twin re-derives both
+    memberships with ``time_bucket(6h) - {0,1}*6h``."""
+    return (
+        scan_pages(spark, _fx(sf_dir))
+        .groupBy(F.window("warc_ts", "12 hours", "6 hours").alias("w"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_pages",
+        )
+    )
+
+
+def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 (session) — per-host crawl sessions via ``F.session_window``
+    (30-min inactivity gap): batch-mode gap-based windowing, the same
+    operator Structured Streaming uses for stateful session aggregation.
+    Twin: classic gaps-and-islands (lag → break flag → running sum)."""
+    return (
+        scan_pages(spark, _fx(sf_dir))
+        .select(host_of("url").alias("host"), "warc_ts")
+        .groupBy("host", F.session_window("warc_ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            "host",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_pages",
+        )
+    )
+
+
+def _q_udtf_url_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 — Python UDTF surface (site-tree depth profile): a lateral
+    table function explodes each URL's path into (seg_idx, segment) rows,
+    then a plain aggregation profiles the site tree by depth.  UDTFs are
+    NOT a hot-path tool here (SURVEY.md §2 cat.10 — everything hot stays
+    in codegen/Arrow); this exercises the registration + LATERAL join
+    surface on a bounded result.  Twin: DuckDB unnest(string_split)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seg_idx: int, segment: string")
+    class UrlSegments:
+        def eval(self, url: str):  # noqa: ANN001
+            path = url.split("://", 1)[1].split("?", 1)[0]
+            for i, seg in enumerate(path.split("/")[1:], start=1):
+                yield i, seg
+
+    spark.udtf.register("url_segments", UrlSegments)
+    scan_pages(spark, _fx(sf_dir)).createOrReplaceTempView("_d7_pages")
+    return spark.sql(
+        """SELECT s.seg_idx AS depth,
+                  count(*) AS n_pages,
+                  count(DISTINCT s.segment) AS n_unique_segments
+           FROM _d7_pages p, LATERAL url_segments(p.url) s
+           GROUP BY 1"""
+    )
+
+
+def _q_udaf_host_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 — grouped-aggregate pandas UDAF (Arrow-batched, one call per
+    group partition — never per row): per-host median extracted-text
+    length.  Median is exact in float64 for integer inputs (middle value
+    or the mean of the two middle values), so the DuckDB ``median``
+    (= quantile_cont 0.5) twin matches bit-for-bit."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_chars(s: pd.Series) -> float:
+        return float(np.median(s.to_numpy(dtype="float64")))
+
+    # Spark disallows mixing grouped-agg pandas UDFs with JVM aggregates
+    # in one agg() — so the row count is a pandas aggregate too
+    @pandas_udf("long")
+    def n_rows(s: pd.Series) -> int:
+        return len(s)
+
+    return (
+        scan_pages(spark, _fx(sf_dir))
+        .select(host_of("url").alias("host"), F.length("text").alias("n_chars"))
+        .groupBy("host")
+        .agg(
+            n_rows("n_chars").alias("n_pages"),
+            median_chars("n_chars").alias("median_chars"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # driver-table queries (events / TPC-H-ish / embeddings)
 # --------------------------------------------------------------------------
@@ -559,6 +655,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_extract_text_invariant": _q_extract_text_invariant,
         "x6_time_buckets": _q_time_buckets,
         "t4_throughput_windows": _q_throughput_windows,
+        "t4b_sliding_windows": _q_sliding_windows,
+        "t4c_session_windows": _q_session_windows,
+        "d7_udtf_url_segments": _q_udtf_url_segments,
+        "d8_udaf_host_median": _q_udaf_host_median,
         # driver tables: json/window/joins/aggs/set ops/arrays
         "x9_json_props": _q_json_props,
         "j6_asof_latest": _q_asof_latest,
@@ -913,6 +1013,42 @@ def oracle_sql() -> dict[str, str]:
                  count(*) AS n_pages,
                  sum(octet_length(html))::bigint AS total_bytes
           FROM {pages} GROUP BY 1, 2""",
+        # sliding windows: every ts belongs to exactly two 12h/6h windows,
+        # starts = time_bucket(6h, ts) - {{0,1}}*6h (epoch-aligned like Spark)
+        "t4b_sliding_windows": f"""
+          SELECT time_bucket(INTERVAL 6 HOUR, warc_ts) - i * INTERVAL 6 HOUR AS window_start,
+                 time_bucket(INTERVAL 6 HOUR, warc_ts) + (2 - i) * INTERVAL 6 HOUR AS window_end,
+                 count(*) AS n_pages
+          FROM {pages} CROSS JOIN (VALUES (0), (1)) k(i)
+          GROUP BY 1, 2""",
+        # session windows: gaps-and-islands — break where the per-host gap
+        # exceeds 30 min; session end = last event + gap (Spark semantics)
+        "t4c_session_windows": f"""
+          WITH p AS (SELECT {_HOST_SQL} AS host, warc_ts FROM {pages}),
+          m AS (SELECT host, warc_ts,
+                  CASE WHEN warc_ts - lag(warc_ts) OVER (PARTITION BY host ORDER BY warc_ts)
+                            <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+                FROM p),
+          g AS (SELECT host, warc_ts,
+                  sum(brk) OVER (PARTITION BY host ORDER BY warc_ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m)
+          SELECT host, min(warc_ts) AS session_start,
+                 max(warc_ts) + INTERVAL 30 MINUTE AS session_end,
+                 count(*) AS n_pages
+          FROM g GROUP BY host, sid""",
+        "d7_udtf_url_segments": f"""
+          WITH segs AS (
+            SELECT unnest(string_split(split_part(split_part(url, '://', 2), '?', 1), '/')[2:]) AS segment,
+                   generate_subscripts(string_split(split_part(split_part(url, '://', 2), '?', 1), '/')[2:], 1) AS seg_idx
+            FROM {pages})
+          SELECT seg_idx AS depth, count(*) AS n_pages,
+                 count(DISTINCT segment) AS n_unique_segments
+          FROM segs GROUP BY 1""",
+        "d8_udaf_host_median": f"""
+          SELECT {_HOST_SQL} AS host, count(*) AS n_pages,
+                 median(length(text)) AS median_chars
+          FROM {pages} GROUP BY 1""",
         # driver tables (pre-registered views)
         "x9_json_props": "SELECT json_extract_string(props, '$.k')::int AS k, count(*) AS n FROM events GROUP BY 1",
         "j6_asof_latest": """

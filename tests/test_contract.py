@@ -23,6 +23,17 @@ SUBSET = [
     "quality_score",
     "x9_json_props",
     "d3_extract_text_invariant",
+    # the former rows-only keys — twinned via crawlfront/sqlhash.py and
+    # the chained 2-batch drain SQL; pinned here so a twin regression
+    # fails fast, not only in the driver sweep
+    "x1_x3_hash_partition",
+    "a4_bloom_shard_stats",
+    "t1_t2_drain_2batches",
+    # round-2 surface-completion ops (former deliberate omissions)
+    "t4b_sliding_windows",
+    "t4c_session_windows",
+    "d7_udtf_url_segments",
+    "d8_udaf_host_median",
 ]
 
 
