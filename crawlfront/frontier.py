@@ -131,6 +131,25 @@ class EngineConfig:
     #: probe).  Both are prefilters only; J4's exact anti-join keeps
     #: correctness independent of filter FPP.
     seen_filter: str = "bloom"
+    #: Lineage barrier for the heavy reused per-batch frames (MOR views,
+    #: discovery chain).  "persist": cache only — every downstream plan
+    #: re-embeds the full producing tree, and because Catalyst trees
+    #: expand shared subtrees along every DAG path, the *expanded* tree
+    #: grows multiplicatively with MOR delta fan-in (observed: 170 MB
+    #: plan renderings, with the matching serial driver-side analyzer
+    #: cost paid inside every sink job submission).  "localckpt":
+    #: ``localCheckpoint(eager=False)`` — the same one-time
+    #: materialization the persist already does, but downstream plans
+    #: see a compact scan-of-RDD leaf, so per-sink Catalyst work is O(1)
+    #: in delta fan-in.  Trade-off: checkpointed partitions are not
+    #: recomputable on executor loss; the batch loop's answer is
+    #: idempotent batch retry from the last manifest (test_resume), so a
+    #: lost block fails one batch attempt, never correctness.  Default
+    #: localckpt: measured 2x batch wall at sandbox scale (sinks 9-13 s
+    #: -> ~2 s), and the win GROWS with delta fan-in; flip to "persist"
+    #: on clusters where executor loss is routine and batch retries are
+    #: expensive (mode equivalence pinned by test_plan_barrier).
+    plan_barrier: str = "localckpt"
 
 
 # --- scans (S1-S4) ---------------------------------------------------------
@@ -674,14 +693,24 @@ class CrawlEngine:
         # probe, shard update) must not re-run the merge.  In snapshot
         # mode they are plain parquet scans: re-scanning is cheaper than
         # caching.
+        def _bar(df: DataFrame) -> DataFrame:
+            """Materialize-once barrier (cfg.plan_barrier).  localckpt
+            additionally truncates logical lineage, so downstream sink
+            plans stay O(1) in MOR delta fan-in.  NOT applied to frames
+            carrying an Observation (the metrics need a SQL-execution
+            first touch, which an RDD checkpoint job is not)."""
+            if cfg.plan_barrier == "localckpt":
+                return df.localCheckpoint(eager=False)
+            return df.persist()
+
         frontier = self.frontier()
         shards = self.shards()
         cached: list[DataFrame] = []
         if man.get("frontier_deltas"):
-            frontier = frontier.persist()
+            frontier = _bar(frontier)
             cached.append(frontier)
         if man.get("url_seen_deltas"):
-            shards = shards.persist()
+            shards = _bar(shards)
             cached.append(shards)
         pending = frontier.filter(F.col("state") == PENDING)
         rest = frontier.filter(F.col("state") != PENDING)
@@ -726,12 +755,12 @@ class CrawlEngine:
         _mark("plan_schedule_fetch")
 
         # discovery + two-tier dedup (D5 bloom prefilter → J4 exact anti-join)
-        cand = discover_candidates(ex, cfg, b).persist()
+        cand = _bar(discover_candidates(ex, cfg, b))
         probed = self._filter_probe(
             cand.select("url_norm", "url_hash32", "url_hash64"), shards,
             passthrough=["url_norm"],
         )
-        probed = probed.persist()  # read 3×: fresh, maybe, bucket list
+        probed = _bar(probed)  # read 3×: fresh, maybe, bucket list
         fresh_norms = probed.filter(~F.col("maybe_seen")).select("url_norm")
         maybe = probed.filter(F.col("maybe_seen")).select(
             "url_norm", seen_bucket("url_hash64", cfg.n_seen_buckets).alias("kb")
@@ -751,8 +780,8 @@ class CrawlEngine:
         # persisted: read twice (new_rows semi-join + deduped counter) and
         # its lineage crosses the bloom-probe cogroup UDF — recompute is
         # a whole extra Python stage
-        new_norms = fresh_norms.unionByName(confirmed_new_norms).persist()
-        new_rows = cand.join(new_norms, "url_norm", "left_semi").select(*FRONTIER_COLS).persist()
+        new_norms = _bar(fresh_norms.unionByName(confirmed_new_norms))
+        new_rows = _bar(cand.join(new_norms, "url_norm", "left_semi").select(*FRONTIER_COLS))
         _mark("discover_dedup")
 
         # --- independent sinks, written CONCURRENTLY -------------------

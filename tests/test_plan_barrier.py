@@ -1,0 +1,30 @@
+"""plan_barrier mode equivalence: the localckpt lineage barrier (default)
+must produce byte-identical batches to plain persist — same results,
+frontier, and counters.  The barrier changes WHERE Catalyst work happens
+(one physical-planning pass at construction vs re-analysis per sink job)
+and truncates logical lineage; it must never change what is computed
+(SURVEY.md §8 round-2; EngineConfig.plan_barrier)."""
+
+from __future__ import annotations
+
+from crawlfront.frontier import CrawlEngine, EngineConfig
+
+N = 3
+
+
+def _run(spark, fixture_dir, tmp_path, name, cfg):
+    eng = CrawlEngine(spark, fixture_dir, tmp_path / name, cfg)
+    stats = eng.run(N)
+    res = sorted(map(tuple, eng.results().collect()))
+    frontier = sorted(map(tuple, eng.frontier().collect()))
+    return stats, res, frontier
+
+
+def test_localckpt_equals_persist(spark, fixture_dir, tmp_path):
+    lc = EngineConfig(plan_barrier="localckpt")
+    pe = EngineConfig(plan_barrier="persist")
+    s1, r1, f1 = _run(spark, fixture_dir, tmp_path, "localckpt", lc)
+    s2, r2, f2 = _run(spark, fixture_dir, tmp_path, "persist", pe)
+    assert s1 == s2
+    assert r1 == r2
+    assert f1 == f2
