@@ -79,15 +79,12 @@ def run_drain(spark, sf: float, n_batches: int, cfg=None, warmup: int = 1) -> di
     fx = fixture_dir_for_sf(sf)
     ck = tempfile.mkdtemp(prefix="bench_ckpt_")
     try:
-        # frontier_commit="snapshot" here: at sandbox table sizes (MBs)
-        # full-snapshot writes beat delta's fixed extra stages (~4-5 s of
-        # merge-on-read/semi-join scheduling per batch) — measured
-        # crossover analysis in BASELINE.md §commit-modes.  The engine
-        # DEFAULT stays "delta" (commit bytes ∝ batch, the 10^10-scale
-        # requirement, evidenced by test_incremental_commits + the
-        # commit_mb fields here).
-        cfg = cfg or EngineConfig(drain_k=max(2000, int(20000 * sf)),
-                                  frontier_commit="snapshot")
+        # Drains in the engine-default delta commit mode (the 10^10-scale
+        # path: commit bytes ∝ batch, not table).  Round 2's snapshot-mode
+        # exception is gone: the localckpt plan barrier removed delta's
+        # ~4-5 s/batch of per-sink Catalyst overhead — measured equal at
+        # sf0.1 (12.4 s delta vs 12.3 s snapshot, same protocol).
+        cfg = cfg or EngineConfig(drain_k=max(2000, int(20000 * sf)))
         eng = CrawlEngine(spark, fx, ck, cfg)
         eng.init()
         for _ in range(warmup):

@@ -484,6 +484,7 @@ class CrawlEngine:
         self.fixture_dir = str(fixture_dir)
         self.ckpt = Checkpoint(ckpt_dir)
         self.cfg = cfg or EngineConfig()
+        self._sink_pool = None  # in-flight concurrent-sink pool (see run_batch)
         if self.cfg.storage == "iceberg":
             from .iceberg import IcebergStore
 
@@ -720,17 +721,31 @@ class CrawlEngine:
         # The gate outputs are re-read by the frontier transition, the
         # counters, and the discovery legs — persist them once instead of
         # re-running the scan→join→window→top-k pipeline per action.
+        # S7: n_scheduled is counted AFTER the sinks from scheduled's
+        # already-materialized barrier blocks (an O(partitions) cache
+        # scan, no recompute) — which frees scheduled to be lineage-
+        # barriered (an Observation here would never fire: localCheckpoint
+        # materialization is an RDD job, not a SQL execution, so its
+        # CollectMetrics never reports).
+        #
+        # Barrier placement: each _bar call has a fixed construction cost
+        # (physical planning + RDD creation), so ONLY the multiplicity
+        # sources get one — the MOR views above (quadratic in delta
+        # fan-in) and the two frames every downstream leg fans out from
+        # (scheduled, ex).  The shallow single-purpose frames (blocked/
+        # allowed/eligible/discovery chain) stay persist(): their trees
+        # are one or two operators over a barrier leaf, so re-analysis
+        # per consumer is cheap.
         scheduled, blocked, allowed, eligible = gate_and_schedule(
             pending, robots, politeness, cfg, base_idx
         )
-        # S7: in-flight scheduled-count via observe — measured during the
-        # first materialization, no separate count job
-        obs = Observation(f"batch-{b}")
-        scheduled = scheduled.observe(obs, F.count(F.lit(1)).alias("n_scheduled"))
-        scheduled = scheduled.persist()
+        # persist BEFORE compiling scheduled's barrier: the planner then
+        # substitutes eligible's InMemoryRelation into scheduled's plan,
+        # so materializing scheduled fills the cache the counter legs read
         blocked = blocked.persist()
         allowed = allowed.persist()
         eligible = eligible.persist()
+        scheduled = _bar(scheduled)
         pages = (
             self.spark.table(
                 bucketed_pages_table(self.spark, self.fixture_dir, cfg.n_partitions)
@@ -738,8 +753,8 @@ class CrawlEngine:
             if cfg.bucketed_fetch
             else scan_pages(self.spark, self.fixture_dir)
         )
-        ex = fetch_and_extract(scheduled, pages,
-                               bounded=not cfg.unbounded_drain).persist()
+        ex = _bar(fetch_and_extract(scheduled, pages,
+                                    bounded=not cfg.unbounded_drain))
 
         # results sink (S5) — independent of the other sinks, so it joins
         # the concurrent sink pool below; its job is also what first
@@ -752,15 +767,34 @@ class CrawlEngine:
                 "overwrite"
             ).parquet(self.ckpt.append_dir("results", b))
 
+        def _timed(fn, *a):
+            t = _time.monotonic()
+            r = fn(*a)
+            return r, round(_time.monotonic() - t, 3)
+
+        # The results write starts NOW, concurrent with the discovery
+        # planning below: with the localckpt barrier the driver-side
+        # Catalyst work (building the discovery chains' physical plans)
+        # is the serial cost of the batch, and the results job — which
+        # materializes scheduled/ex for everyone — is pure cluster work
+        # that overlaps it fully.  The pool is tracked on self so that a
+        # batch that fails mid-discovery cannot leave this write racing
+        # a later retry of the same (uncommitted) batch directory.
+        if self._sink_pool is not None:  # leftover from a failed batch
+            self._sink_pool.shutdown(wait=True)
+        pool = self._sink_pool = ThreadPoolExecutor(max_workers=5)
+        fut_results = pool.submit(_timed, write_results)
         _mark("plan_schedule_fetch")
 
         # discovery + two-tier dedup (D5 bloom prefilter → J4 exact anti-join)
-        cand = _bar(discover_candidates(ex, cfg, b))
+        cand = discover_candidates(ex, cfg, b).persist()
+        _mark("disc_cand")
         probed = self._filter_probe(
             cand.select("url_norm", "url_hash32", "url_hash64"), shards,
             passthrough=["url_norm"],
         )
-        probed = _bar(probed)  # read 3×: fresh, maybe, bucket list
+        probed = probed.persist()  # read 3×: fresh, maybe, bucket list
+        _mark("disc_probe")
         fresh_norms = probed.filter(~F.col("maybe_seen")).select("url_norm")
         maybe = probed.filter(F.col("maybe_seen")).select(
             "url_norm", seen_bucket("url_hash64", cfg.n_seen_buckets).alias("kb")
@@ -780,8 +814,9 @@ class CrawlEngine:
         # persisted: read twice (new_rows semi-join + deduped counter) and
         # its lineage crosses the bloom-probe cogroup UDF — recompute is
         # a whole extra Python stage
-        new_norms = _bar(fresh_norms.unionByName(confirmed_new_norms))
-        new_rows = _bar(cand.join(new_norms, "url_norm", "left_semi").select(*FRONTIER_COLS))
+        new_norms = fresh_norms.unionByName(confirmed_new_norms).persist()
+        _mark("disc_confirm")
+        new_rows = cand.join(new_norms, "url_norm", "left_semi").select(*FRONTIER_COLS).persist()
         _mark("discover_dedup")
 
         # --- independent sinks, written CONCURRENTLY -------------------
@@ -921,13 +956,7 @@ class CrawlEngine:
             ],
         )
 
-        def _timed(fn, *a):
-            t = _time.monotonic()
-            r = fn(*a)
-            return r, round(_time.monotonic() - t, 3)
-
-        with ThreadPoolExecutor(max_workers=5) as pool:
-            fut_results = pool.submit(_timed, write_results)
+        try:
             fut_frontier = pool.submit(_timed, write_frontier)
             fut_seen = pool.submit(_timed, self._write_seen_append, new_rows, b)
             fut_shards = pool.submit(_timed, write_shards)
@@ -941,11 +970,15 @@ class CrawlEngine:
             _, t_re = fut_results.result()
             _, t_se = fut_seen.result()
             _, t_c = fut_counters.result()
+        finally:
+            pool.shutdown(wait=True)
+            self._sink_pool = None
         timings["sink_each"] = {"results": t_re, "frontier": t_f,
                                 "shards": t_sh, "seen": t_se, "counters": t_c}
         _mark("sinks_parallel")
 
-        n_scheduled = obs.get["n_scheduled"]
+        # cache-scan count over scheduled's materialized barrier blocks
+        n_scheduled = scheduled.count()
 
         self.ckpt.commit(
             b,
