@@ -12,8 +12,10 @@ and prints
 Scaling mode (the BASELINE.json N-vs-4N evidence — no real cluster in
 this sandbox, so two parallelism levels on identical input):
     python bench.py --scaling
-runs the SAME frontier-drain job at local[8] and local[32] in two
-fresh SparkSessions and prints throughput at both plus
+runs the SAME frontier-drain job at local[8] and local[32], each
+sample a fresh JVM launched via ``spark-submit --py-files
+crawlfront.zip`` (the north_star launch mode; ``--launcher python``
+falls back to plain subprocesses), and prints throughput at both plus
 ``efficiency = thr(32) / (4 * thr(8))``; results are recorded in
 BASELINE.md.
 
@@ -209,8 +211,30 @@ def platform_ceiling(cores_low: int = 8, cores_high: int = 32) -> dict:
             "mem_ceiling": round(mratio / factor, 3), "mem_speedup": round(mratio, 2)}
 
 
+def _stage_submit_launch(stage_dir: Path) -> tuple[str, str, str]:
+    """Package the engine for the mandated launch mode (BASELINE.json
+    north_star: "launched via spark-submit --py-files"): zip
+    ``crawlfront/`` and copy this script into ``stage_dir`` so the
+    subprocess resolves the package ONLY from the zip (cwd is the stage
+    dir, PYTHONPATH is cleared).  Returns (spark_submit, zip, script)."""
+    import zipfile
+
+    import pyspark
+
+    repo = Path(__file__).resolve().parent
+    zip_path = stage_dir / "crawlfront.zip"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for p in sorted((repo / "crawlfront").rglob("*.py")):
+            z.write(p, f"crawlfront/{p.relative_to(repo / 'crawlfront')}")
+    script = stage_dir / "bench.py"
+    shutil.copyfile(repo / "bench.py", script)
+    spark_submit = Path(pyspark.__file__).resolve().parent / "bin" / "spark-submit"
+    return str(spark_submit), str(zip_path), str(script)
+
+
 def bench_scaling(sf: float, n_batches: int, cores_low: int = 8,
-                  cores_high: int = 32, repeats: int = 2) -> dict:
+                  cores_high: int = 32, repeats: int = 2,
+                  launcher: str = "submit") -> dict:
     """Same drain job, identical input/seed/config, at local[N] and
     local[4N] — the sandbox stand-in for N vs 4N executors.
 
@@ -236,13 +260,36 @@ def bench_scaling(sf: float, n_batches: int, cores_low: int = 8,
         the HARDWARE allowed at that moment."""
     import subprocess
 
-    def one(cores: int) -> dict:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--drain-once", "--cpus", str(cores),
-             "--sf", str(sf), "--batches", str(n_batches)],
-            capture_output=True, text=True, check=True,
-        )
-        return json.loads(proc.stdout.strip().splitlines()[-1])
+    worker_args = ["--drain-once", "--sf", str(sf), "--batches", str(n_batches)]
+    stage_ctx = tempfile.TemporaryDirectory(prefix="crawlfront-submit-")
+    if launcher == "submit":
+        # the mandated launch mode: a real ``spark-submit --py-files
+        # crawlfront.zip`` per sample, package importable ONLY from the
+        # zip (cwd = stage dir, PYTHONPATH cleared) — same fresh-JVM
+        # discipline as the plain-python launcher, same timed code path.
+        spark_submit, zip_path, script = _stage_submit_launch(Path(stage_ctx.name))
+        env = {**os.environ, "PYTHONPATH": "",
+               "CRAWLFRONT_FIXTURE_ROOT": str(Path(__file__).resolve().parent / "fixtures")}
+
+        def one(cores: int) -> dict:
+            proc = subprocess.run(
+                [spark_submit, "--master", f"local[{cores}]",
+                 "--driver-memory", os.environ.get("CRAWLFRONT_DRIVER_MEM", "8g"),
+                 "--py-files", zip_path, script,
+                 "--cpus", str(cores), *worker_args],
+                capture_output=True, text=True, check=True,
+                cwd=stage_ctx.name, env=env,
+            )
+            line = next(ln for ln in reversed(proc.stdout.strip().splitlines())
+                        if ln.startswith("{"))
+            return json.loads(line)
+    else:
+        def one(cores: int) -> dict:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--cpus", str(cores), *worker_args],
+                capture_output=True, text=True, check=True,
+            )
+            return json.loads(proc.stdout.strip().splitlines()[-1])
 
     ceiling_pre = platform_ceiling(cores_low, cores_high)
     samples: dict[str, list[dict]] = {str(cores_low): [], str(cores_high): []}
@@ -327,12 +374,16 @@ def main() -> int:
     ap.add_argument("--cores-low", type=int, default=8)
     ap.add_argument("--cores-high", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--launcher", choices=("submit", "python"), default="submit",
+                    help="--scaling per-sample launch mode: real spark-submit "
+                         "--py-files crawlfront.zip (default, the mandated "
+                         "launch mode) or a plain python subprocess")
     args = ap.parse_args()
     if args.drain_once:
         result = drain_once(args.sf, args.cpus, args.batches)
     elif args.scaling:
         result = bench_scaling(args.sf, args.batches, args.cores_low,
-                               args.cores_high, args.repeats)
+                               args.cores_high, args.repeats, args.launcher)
     else:
         result = bench_default(args.sf_dir, args.cpus)
     print(json.dumps(result))

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import json
+import os
 from pathlib import Path
 from urllib.parse import quote
 
@@ -251,7 +252,13 @@ def generate_fixtures(sf: float, out_dir: str | Path, force: bool = False) -> Pa
 
 # Repo-stable fixture roots: queries()/oracle_sql() (driver contract) need a
 # path that is identical between the Spark side and the DuckDB SQL string.
-FIXTURE_ROOT = Path(__file__).resolve().parent.parent / "fixtures"
+# CRAWLFRONT_FIXTURE_ROOT overrides for launch modes where the package is
+# imported from a --py-files zip (``__file__`` then points inside the zip,
+# which is not a writable/readable fixture directory).
+FIXTURE_ROOT = Path(
+    os.environ.get("CRAWLFRONT_FIXTURE_ROOT")
+    or Path(__file__).resolve().parent.parent / "fixtures"
+)
 
 
 def fixture_dir_for_sf(sf: float, generate: bool = True) -> Path:
