@@ -211,25 +211,36 @@ def platform_ceiling(cores_low: int = 8, cores_high: int = 32) -> dict:
             "mem_ceiling": round(mratio / factor, 3), "mem_speedup": round(mratio, 2)}
 
 
+def package_crawlfront_zip(dest_dir: Path) -> Path:
+    """Zip the ``crawlfront`` package for ``spark-submit --py-files``
+    (shared by the --scaling launcher and tests/test_spark_submit.py so
+    the benched launch mode and the tested one can't drift apart)."""
+    import zipfile
+
+    repo = Path(__file__).resolve().parent
+    zip_path = dest_dir / "crawlfront.zip"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for p in sorted((repo / "crawlfront").rglob("*.py")):
+            z.write(p, f"crawlfront/{p.relative_to(repo / 'crawlfront')}")
+    return zip_path
+
+
+def spark_submit_path() -> Path:
+    import pyspark
+
+    return Path(pyspark.__file__).resolve().parent / "bin" / "spark-submit"
+
+
 def _stage_submit_launch(stage_dir: Path) -> tuple[str, str, str]:
     """Package the engine for the mandated launch mode (BASELINE.json
     north_star: "launched via spark-submit --py-files"): zip
     ``crawlfront/`` and copy this script into ``stage_dir`` so the
     subprocess resolves the package ONLY from the zip (cwd is the stage
     dir, PYTHONPATH is cleared).  Returns (spark_submit, zip, script)."""
-    import zipfile
-
-    import pyspark
-
-    repo = Path(__file__).resolve().parent
-    zip_path = stage_dir / "crawlfront.zip"
-    with zipfile.ZipFile(zip_path, "w") as z:
-        for p in sorted((repo / "crawlfront").rglob("*.py")):
-            z.write(p, f"crawlfront/{p.relative_to(repo / 'crawlfront')}")
+    zip_path = package_crawlfront_zip(stage_dir)
     script = stage_dir / "bench.py"
-    shutil.copyfile(repo / "bench.py", script)
-    spark_submit = Path(pyspark.__file__).resolve().parent / "bin" / "spark-submit"
-    return str(spark_submit), str(zip_path), str(script)
+    shutil.copyfile(Path(__file__).resolve().parent / "bench.py", script)
+    return str(spark_submit_path()), str(zip_path), str(script)
 
 
 def bench_scaling(sf: float, n_batches: int, cores_low: int = 8,

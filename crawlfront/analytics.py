@@ -210,10 +210,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     )
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     inv = docs.select("doc_id", F.explode("sh").alias("shingle"))
-    w_df = Window.partitionBy("shingle")
-    inv = inv.withColumn("df", F.count("*").over(w_df)).filter(
-        F.col("df") <= max_doc_freq
-    ).drop("df")
+    # doc-frequency via groupBy (map-side partial aggregation bounds a
+    # hot shingle to ONE row per input partition), not a window — a
+    # Window.partitionBy(shingle) would funnel all d occurrences of a
+    # df=d stop-shingle through a single sort task before the filter
+    # could drop it, reintroducing the serial hot key this guard exists
+    # to remove.  The semi-join keeps only keep-worthy shingles and is
+    # the same GROUP BY/HAVING shape as the DuckDB twin.
+    keep = (
+        inv.groupBy("shingle").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_doc_freq).select("shingle")
+    )
+    inv = inv.join(keep, "shingle", "left_semi")
     co = (
         inv.alias("l")
         .join(inv.alias("r"), "shingle")

@@ -64,8 +64,18 @@ def _fingerprints(h64: np.ndarray) -> np.ndarray:
     return fp
 
 
-def _bucket1(h32: np.ndarray, n_buckets: int) -> np.ndarray:
-    return h32.astype(np.int64).astype(np.uint64) & np.uint64(n_buckets - 1)
+def _bucket1(h64: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Primary bucket from the key's xxhash64 LOW bits.
+
+    Deliberately NOT derived from h32: the shard key is
+    ``pmod(url_hash32, n_shards)`` and n_shards is a power of two, so
+    within one shard every key agrees on its low log2(n_shards) bits of
+    h32 — bucketing on h32 would collapse the shard's primary buckets
+    to n_buckets/n_shards and overfill at a fraction of nominal
+    capacity.  h64 is independent of the shard key, and its low bucket
+    bits are disjoint from the fingerprint bits (h64 >> 20) for any
+    n_buckets ≤ 2^20."""
+    return h64.astype(np.int64).astype(np.uint64) & np.uint64(n_buckets - 1)
 
 
 def _alt_bucket(i: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:
@@ -81,7 +91,7 @@ def insert_keys(table: np.ndarray, h32: np.ndarray, h64: np.ndarray,
     table (a silent drop would create false negatives → duplicates)."""
     order = np.lexsort((h64, h32))  # deterministic insert order
     fps = _fingerprints(h64[order])
-    i1s = _bucket1(h32[order], n_buckets)
+    i1s = _bucket1(h64[order], n_buckets)
     for fp, i1 in zip(fps, i1s):
         i2 = int(_alt_bucket(np.uint64(i1), np.uint16(fp), n_buckets))
         placed = False
@@ -126,7 +136,7 @@ def contains(table: np.ndarray, h32: np.ndarray, h64: np.ndarray,
     if len(h32) == 0:
         return np.zeros(0, dtype=bool)
     fp = _fingerprints(h64)
-    i1 = _bucket1(h32, n_buckets)
+    i1 = _bucket1(h64, n_buckets)
     i2 = _alt_bucket(i1, fp, n_buckets)
     tb = table.reshape(n_buckets, SLOTS)
     hit1 = (tb[i1.astype(np.int64)] == fp[:, None]).any(axis=1)

@@ -381,6 +381,23 @@ def results_from_extract(ex: DataFrame, batch_id: int) -> DataFrame:
     )
 
 
+def _unpersist_barrier(df: DataFrame) -> None:
+    """Free a ``_bar`` frame's storage at batch end.  persist-mode frames
+    release through the SQL cache manager, but a localCheckpoint frame
+    persists its RDD OUTSIDE it — ``DataFrame.unpersist`` is a silent
+    no-op there, leaking each batch's biggest frames (ex carries the
+    extracted text) until JVM GC happens to collect the RDD handle.  The
+    block release must go through the checkpointed RDD on the LogicalRDD
+    plan node instead."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — py4j surface drift: fall through
+        pass
+    df.unpersist()
+
+
 def discover_candidates(ex: DataFrame, cfg: EngineConfig, batch_id: int) -> DataFrame:
     """Outlinks of fetched pages → canonical candidates, one row per
     distinct url_norm (deterministic min-struct parent pick)."""
@@ -541,6 +558,15 @@ class CrawlEngine:
             from . import cuckoo as mod  # noqa: PLC0415
         return mod.probe(cand, shards, self.cfg.n_shards,
                          passthrough_cols=passthrough)
+
+    def _filter_shard_col(self, h32_col):
+        """The backend's shard key — routed through the same dispatch as
+        update/probe so the touched-shard pruning in write_shards can
+        never diverge from the expression the probe actually uses."""
+        mod = bloom
+        if self.cfg.seen_filter == "cuckoo":
+            from . import cuckoo as mod  # noqa: PLC0415
+        return mod.shard_col(h32_col, self.cfg.n_shards)
 
     # --- snapshot IO ---
     def _read(self, table: str, schema) -> DataFrame:
@@ -891,7 +917,7 @@ class CrawlEngine:
                 self._write_snapshot(shards2, "url_seen", b)
                 return b, []
             touched = new_keys.select(
-                bloom.shard_col(F.col("url_hash32"), cfg.n_shards).alias("shard")
+                self._filter_shard_col(F.col("url_hash32")).alias("shard")
             ).distinct()
             old_touched = shards.join(touched, "shard", "left_semi")
             delta_shards = self._filter_update(old_touched, new_keys, batch_id=b)
@@ -990,9 +1016,11 @@ class CrawlEngine:
         )
         # batch summary from the counters-write Observation — measured in
         # passing, not a re-read of every committed batch dir
-        for df in (ex, cand, probed, new_rows, new_norms, scheduled, blocked,
-                   allowed, eligible, *cached):
+        for df in (cand, probed, new_rows, new_norms, blocked, allowed,
+                   eligible):
             df.unpersist()
+        for df in (ex, scheduled, *cached):  # the _bar frames
+            _unpersist_barrier(df)
         agg = {k: (v or 0) for k, v in cobs.get.items()}
         agg["batch_id"] = b
         agg["scheduled"] = n_scheduled

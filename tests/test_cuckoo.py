@@ -43,6 +43,21 @@ def test_insert_order_independent():
     assert (t1 == t2).all()
 
 
+def test_sharded_keys_fill_to_nominal_capacity():
+    """Regression: within one shard every key agrees on its low
+    log2(n_shards) bits of h32 (shard = pmod(h32, n_shards)).  The
+    primary bucket must therefore NOT be derived from h32 — doing so
+    collapsed the shard to n_buckets/n_shards primary buckets and raised
+    'overfull' at ~42% of nominal capacity."""
+    n = 50_000
+    nb = cuckoo.cuckoo_params(n)
+    h32, h64 = _keys(n, seed=5)
+    h32 = (h32 - (h32 % 64) + 7).astype(np.int32)  # shard key: h32 % 64 == 7
+    table = np.zeros(nb * cuckoo.SLOTS, dtype=np.uint16)
+    assert cuckoo.insert_keys(table, h32, h64, nb) == n  # no overfull raise
+    assert cuckoo.contains(table, h32, h64, nb).all()
+
+
 def test_overfull_raises_not_drops():
     nb = 8  # 32 slots
     h32, h64 = _keys(64, seed=4)

@@ -28,3 +28,20 @@ def test_localckpt_equals_persist(spark, fixture_dir, tmp_path):
     assert s1 == s2
     assert r1 == r2
     assert f1 == f2
+
+
+def _n_persisted_rdds(spark) -> int:
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def test_localckpt_blocks_freed_per_batch(spark, fixture_dir, tmp_path):
+    """DataFrame.unpersist is a silent no-op on a localCheckpoint frame
+    (its RDD is persisted outside the SQL cache manager), so without the
+    explicit RDD release every batch leaks its barrier blocks — ex
+    carries the batch's extracted text, the dominant frame.  A long
+    drain must end with zero retained RDD blocks."""
+    base = _n_persisted_rdds(spark)
+    eng = CrawlEngine(spark, fixture_dir, tmp_path / "leak",
+                      EngineConfig(plan_barrier="localckpt"))
+    eng.run(N)
+    assert _n_persisted_rdds(spark) <= base

@@ -8,10 +8,8 @@ from __future__ import annotations
 import json
 import os
 import subprocess
-import zipfile
 from pathlib import Path
 
-import pyspark
 import pytest
 
 DRIVER = """\
@@ -36,14 +34,12 @@ spark.stop()
 
 @pytest.mark.slow
 def test_spark_submit_pyfiles_smoke(tmp_path, fixture_dir):
-    repo = Path(__file__).resolve().parent.parent
-    zip_path = tmp_path / "crawlfront.zip"
-    with zipfile.ZipFile(zip_path, "w") as z:
-        for p in sorted((repo / "crawlfront").rglob("*.py")):
-            z.write(p, f"crawlfront/{p.relative_to(repo / 'crawlfront')}")
+    from bench import package_crawlfront_zip, spark_submit_path
+
+    zip_path = package_crawlfront_zip(tmp_path)
     driver = tmp_path / "driver.py"
     driver.write_text(DRIVER)
-    spark_submit = Path(pyspark.__file__).resolve().parent / "bin" / "spark-submit"
+    spark_submit = spark_submit_path()
     assert spark_submit.exists()
     out = subprocess.run(
         [

@@ -51,9 +51,9 @@ def test_pmod_sql(duck):
     assert duck.execute(f"SELECT {pmod_sql('7', 32)}").fetchone()[0] == 7
 
 
-def test_fixture_urls_both(duck):
+def test_fixture_urls_both(duck, fixture_dir):
     """Every distinct seed/page URL at sf0.001 hashes identically."""
-    fx = "fixtures/sf0.001"
+    fx = fixture_dir
     con = duckdb.connect()
     con.execute(
         f"CREATE TABLE u AS SELECT url AS s FROM read_parquet('{fx}/seeds.parquet') "
