@@ -150,6 +150,20 @@ class EngineConfig:
     #: on clusters where executor loss is routine and batch retries are
     #: expensive (mode equivalence pinned by test_plan_barrier).
     plan_barrier: str = "localckpt"
+    #: Materialize the fetch+extract barrier (``ex``) with a dedicated
+    #: count() before any concurrent consumer is submitted.  All five
+    #: sinks and the discovery legs fan out from ex; left lazy, the
+    #: concurrent first touch parks the losing jobs' tasks on the block
+    #: manager's per-partition cache lock, each parked task occupying a
+    #: scheduler slot (stage profiles at sf0.1 showed three 114-task
+    #: consumer stages burning ~50 s of slot time each at ~3 s cpu).
+    #: Sandbox A/B (5 interleaved pairs sf0.1 + 1 pair sf2): WALL-NEUTRAL
+    #: within the noise band — parked tasks don't burn cpu and local mode
+    #: has no other tenant for the wasted slots.  Kept ON for cluster
+    #: semantics (a parked task holds a real executor slot that dynamic
+    #: allocation or a co-tenant stage could use) and because it isolates
+    #: the map phase as its own timing mark.
+    eager_map: bool = True
 
 
 # --- scans (S1-S4) ---------------------------------------------------------
@@ -781,11 +795,17 @@ class CrawlEngine:
         )
         ex = _bar(fetch_and_extract(scheduled, pages,
                                     bounded=not cfg.unbounded_drain))
+        _mark("plan_schedule_fetch")
+        if cfg.eager_map:
+            # Materialize the map phase NOW, while no other job competes,
+            # so every later first touch is a cache read instead of a
+            # cache-lock park that holds a scheduler slot (see
+            # EngineConfig.eager_map for the measured trade-off).
+            ex.count()
+            _mark("map_materialize")
 
-        # results sink (S5) — independent of the other sinks, so it joins
-        # the concurrent sink pool below; its job is also what first
-        # materializes the persisted `ex` (the block-manager per-partition
-        # cache lock lets the discovery legs wait on, not recompute, it)
+        # results sink (S5) — independent of the other sinks; with
+        # eager_map its job reads ex's already-materialized blocks
         results = results_from_extract(ex, b)
 
         def write_results() -> None:
@@ -810,7 +830,6 @@ class CrawlEngine:
             self._sink_pool.shutdown(wait=True)
         pool = self._sink_pool = ThreadPoolExecutor(max_workers=5)
         fut_results = pool.submit(_timed, write_results)
-        _mark("plan_schedule_fetch")
 
         # discovery + two-tier dedup (D5 bloom prefilter → J4 exact anti-join)
         cand = discover_candidates(ex, cfg, b).persist()
