@@ -269,22 +269,16 @@ def gate_and_schedule(
     else:
         # O1: distributed top-K (TakeOrderedAndProject) on the total schedule key
         scheduled = eligible.orderBy(*_SCHED_ORDER).limit(cfg.drain_k)
-        # W3: global schedule_idx.  For small caps a single-partition
-        # window over ≤drain_k rows is cheapest; for large caps (the
-        # default 100k) the same index comes from the range-partitioned
-        # two-pass global_index — no single-partition WindowExec stage
-        # (and no warning flood) on a 100k×14-col drain.  Both orderings
-        # are total (tie-break url_norm) so the indices are identical.
-        if cfg.drain_k > 10_000:
-            scheduled = global_index(
-                scheduled, _SCHED_ORDER, cfg.n_partitions, "schedule_idx", base=base_idx
-            )
-        else:
-            w_global = Window.orderBy(*_SCHED_ORDER)
-            scheduled = scheduled.withColumn(
-                "schedule_idx",
-                (F.row_number().over(w_global) - 1 + F.lit(base_idx)).cast("long"),
-            )
+        # W3: global schedule_idx via the same range-partitioned two-pass
+        # index as the unbounded path (the ordering is total — tie-break
+        # url_norm — so the indices are identical either way).  A plain
+        # window here would be unpartitioned: Catalyst folds any literal
+        # partitionBy away, leaving a WindowExec that warns on every
+        # drain plan execution even though the post-limit input is a
+        # single partition already.
+        scheduled = global_index(
+            scheduled, _SCHED_ORDER, cfg.n_partitions, "schedule_idx", base=base_idx
+        )
     return scheduled, blocked, allowed, eligible
 
 

@@ -120,9 +120,8 @@ def global_index(df, order_cols: list[str], n_partitions: int = 64,
     """Global dense 0-based index over an UNBOUNDED dataframe without a
     single-partition window (SURVEY.md §2 W3 scale path): range-partition
     by the order key, rank within partitions, then add broadcasted
-    per-partition offsets (two-pass cumulative-count trick).  Used when a
-    drain has no top-K cap; the capped engine path uses a plain window
-    over ≤drain_k rows."""
+    per-partition offsets (two-pass cumulative-count trick).  Both the
+    capped and unbounded drain paths route W3 through this."""
     from pyspark.sql import Window
 
     part = df.repartitionByRange(n_partitions, *order_cols)
@@ -131,8 +130,19 @@ def global_index(df, order_cols: list[str], n_partitions: int = 64,
         "_local", F.row_number().over(w_in)
     )
     counts = with_local.groupBy("_pid").agg(F.count("*").alias("_n"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+    # cumulative offsets over ≤n_partitions count rows via a θ-self-join
+    # (O(P²) rows, P ≤ a few hundred) instead of an unpartitioned window:
+    # Catalyst constant-folds any literal partitionBy away, so a window
+    # here would single-partition silently and WindowExec would warn on
+    # every execution of every drain plan.
+    earlier = counts.select(
+        F.col("_pid").alias("_qid"), F.col("_n").alias("_qn")
+    )
+    offsets = (
+        counts.join(F.broadcast(earlier), F.col("_qid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_qn"), F.lit(0)).alias("_off"))
+    )
     return (
         with_local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
         .withColumn(name, (F.col("_local") - 1 + F.col("_off") + F.lit(base)).cast("long"))
