@@ -685,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": lambda spark, sf_dir: analytics.multimodal_meta(
             spark, scan_pages(spark, _fx(sf_dir))
         ),
+        "pipeline_clean_corpus": analytics.pipeline_clean_corpus,
     }
 
 
@@ -1205,6 +1206,25 @@ def oracle_sql() -> dict[str, str]:
                  ceil(length(text) / 4.0)::int AS bpe_est_tokens
           FROM documents""",
         "doc_fingerprint": "SELECT doc_id, md5(substr(text, 1, 100)) AS fp_head, n_chars::bigint AS n_chars FROM documents",
+        "pipeline_clean_corpus": """
+          WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+          scored AS (
+            SELECT doc_id, text,
+              round(0.5 * least(len(toks) / 100.0, 1.0)
+                    + 0.5 * (1 - len(list_filter(toks, x -> x IN ('the','a','and','of','to')))
+                             / greatest(len(toks), 1)::double), 4) AS quality,
+              CASE WHEN round((length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')))
+                        / greatest(length(text), 1)::double, 4) > 0.2
+                   THEN 'zh' ELSE 'en' END AS pred_lang,
+              ceil(length(text) / 4.0)::int AS bpe_est_tokens
+            FROM t),
+          filt AS (SELECT * FROM scored WHERE pred_lang = 'en' AND quality >= 0.6),
+          d1 AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM filt),
+          k1 AS (SELECT doc_id, text, quality, pred_lang, bpe_est_tokens FROM d1 WHERE rn = 1),
+          d2 AS (SELECT *, row_number() OVER (PARTITION BY md5(substr(text, 1, 100)) ORDER BY doc_id) AS rn FROM k1)
+          SELECT doc_id, pred_lang, quality, bpe_est_tokens,
+                 (('0x' || substr(md5(md5(text)), 1, 15))::bigint % 8)::int AS shard
+          FROM d2 WHERE rn = 1""",
         "multimodal_meta": f"""
           SELECT url, octet_length(html)::bigint AS n_bytes,
                  substr(html::varchar, 1, 5) AS head,

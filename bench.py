@@ -62,6 +62,7 @@ HEADLINE = [
     "lang_id",
     "quality_score",
     "token_count",
+    "pipeline_clean_corpus",
 ]
 
 

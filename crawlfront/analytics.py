@@ -576,6 +576,69 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str, k: int = 5, w: int = 8
     ).distinct()
 
 
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str,
+                          min_quality: float = 0.6, n_shards: int = 8) -> DataFrame:
+    """Flagship end-to-end training-data cleaning pipeline — the
+    composition a 100 TB corpus actually runs, as ONE declarative plan:
+
+      1. language ID (CJK-ratio heuristic, same expressions as lang_id)
+      2. quality scoring + filter (same expressions as quality_score;
+         the filter compares the ROUNDED score, which both engines
+         produce bit-identically, so the cut is portable)
+      3. exact dedup  — keep min doc_id per md5(text)
+      4. near-dup     — keep min doc_id per head fingerprint
+         (md5 of the first 100 chars, as doc_fingerprint)
+      5. shard assignment for training output: pmod(hash(content), S)
+
+    Scale notes: stages 3/4 are windows partitioned by a CONTENT hash
+    (skew bounded by the duplicate-group size, never a hot host/key);
+    stage 5 is hash-sharding, not token-cumsum packing — a cumulative
+    sum needs a global order (a serial stage at 10^10 docs), while hash
+    sharding is embarrassingly parallel and balanced by construction.
+    Whole pipeline = 2 shuffles (one per dedup key); filters run before
+    both shuffles so shuffled bytes are already quality-pruned.
+    """
+    docs = _read(spark, sf_dir, "documents", parallel=True)
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+        / F.greatest(n_toks, F.lit(1))
+    )
+    quality = F.round(
+        0.5 * F.least(n_toks / F.lit(100.0), F.lit(1.0)) + 0.5 * (1 - stop_ratio), 4
+    )
+    cjk_ratio = F.round(
+        (F.length("text") - F.length(F.regexp_replace("text", "[一-鿿]", "")))
+        / F.greatest(F.length("text"), F.lit(1)),
+        4,
+    )
+    scored = docs.select(
+        "doc_id",
+        "text",
+        quality.alias("quality"),
+        F.when(cjk_ratio > 0.2, F.lit("zh")).otherwise(F.lit("en")).alias("pred_lang"),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("bpe_est_tokens"),
+    ).filter((F.col("pred_lang") == "en") & (F.col("quality") >= min_quality))
+    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    w_head = Window.partitionBy(F.md5(F.substring("text", 1, 100))).orderBy("doc_id")
+    kept = (
+        scored.withColumn("_rn", F.row_number().over(w_exact))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("_rn", F.row_number().over(w_head))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return kept.select(
+        "doc_id",
+        "pred_lang",
+        "quality",
+        "bpe_est_tokens",
+        F.pmod(portable_hash64(F.md5("text")), F.lit(n_shards)).cast("int").alias("shard"),
+    )
+
+
 # --- multimodal binary plumbing --------------------------------------------
 
 #: Columns produced by the (stubbed) media decoder.

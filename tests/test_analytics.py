@@ -108,6 +108,30 @@ def test_winnow_shared_fingerprints_detect_overlap(spark):
     assert fp.select("doc_id").distinct().count() == n_docs
 
 
+def test_pipeline_clean_corpus(spark):
+    """The flagship cleaning pipeline, cross-checked stage by stage
+    against the independently oracle-verified quality_score / lang_id
+    queries: the kept set is EXACTLY min-doc_id-per-head-fingerprint
+    over the (en ∧ quality ≥ 0.6) slice (the sf0.01 slice has no exact
+    text dups, so stage 3 is identity and stage 4 fully determines it)."""
+    out = analytics.pipeline_clean_corpus(spark, SF).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    quality = {r["doc_id"]: r["quality"] for r in analytics.quality_score(spark, SF).collect()}
+    lang = {r["doc_id"]: r["pred_lang"] for r in analytics.lang_id(spark, SF).collect()}
+    passing = sorted(d for d in texts if lang[d] == "en" and quality[d] >= 0.6)
+    assert len(set(texts[d] for d in passing)) == len(passing)  # no exact dups
+    expect_kept = {}
+    for d in passing:  # ascending doc_id → first seen is the min
+        expect_kept.setdefault(texts[d][:100], d)
+    assert {r["doc_id"] for r in out} == set(expect_kept.values())
+    assert len(out) < len(passing)  # dedup actually pruned something
+    assert all(0 <= r["shard"] < 8 for r in out)
+    assert all(r["quality"] == quality[r["doc_id"]] for r in out)
+
+
 def test_multimodal_plumbing(spark):
     from crawlfront.fixtures import fixture_dir_for_sf
     from crawlfront.frontier import scan_pages

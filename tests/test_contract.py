@@ -34,6 +34,7 @@ SUBSET = [
     "t4c_session_windows",
     "d7_udtf_url_segments",
     "d8_udaf_host_median",
+    "pipeline_clean_corpus",
 ]
 
 
