@@ -53,3 +53,30 @@ def test_malformed_tolerated():
 def test_bad_utf8_replaced():
     ex = extract_page(b"<html><body><p>ok \xff\xfe bad</p></body></html>")
     assert "ok" in ex.text  # errors='replace' keeps going deterministically
+
+
+# --- property-based fuzz (hypothesis) ---------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=512))
+def test_extract_total_on_arbitrary_bytes(data):
+    """D3 totality: the shared extractor never raises and is
+    deterministic on ARBITRARY bytes — the engine UDF, oracle and
+    fixture generator all call this one function, so a crash here is a
+    crawl-stopping poison page at corpus scale."""
+    a = extract_page(data, base_url="http://h.example/x")
+    b = extract_page(data, base_url="http://h.example/x")
+    assert a == b
+    assert a.text is not None
+    assert all(r.rank >= 1 for r in a.results)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=256))
+def test_extract_total_on_arbitrary_text(html):
+    ex = extract_page(html, base_url="")
+    assert extract_page(html, base_url="") == ex

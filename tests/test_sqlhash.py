@@ -69,3 +69,50 @@ def test_fixture_urls_both(duck, fixture_dir):
     for v, h32, h64 in rows:
         assert h32 == murmur3_32(v)
         assert h64 == xxhash64(v)
+
+
+# --- property-based fuzz (hypothesis): arbitrary unicode through all twins --
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# NUL is excluded: DuckDB VARCHAR rejects embedded \x00 at bind time, and
+# no operational input (URLs, shingles) can carry it.  Everything else —
+# multibyte UTF-8, astral plane, non-4-byte-aligned tails — is fair game.
+_texts = st.lists(
+    st.text(st.characters(blacklist_characters="\x00"), max_size=64),
+    min_size=1, max_size=8,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_texts)
+def test_sql_twins_fuzz(strings):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(s VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?)", [(s,) for s in strings])
+    sql = (
+        f"WITH RECURSIVE {murmur3_ctes('m', 'u', 's')}, "
+        f"{xxhash64_ctes('x', 'u', 's')} "
+        "SELECT m.v, m.h32, x.h64 FROM m_m m JOIN x_x x USING (v)"
+    )
+    for v, h32, h64 in con.execute(sql).fetchall():
+        assert h32 == murmur3_32(v), repr(v)
+        assert h64 == xxhash64(v), repr(v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(st.characters(blacklist_characters="\x00"), max_size=64))
+def test_portable_hash64_twin_fuzz(s):
+    """The engine-portable md5-derived hash (analytics.portable_hash64 /
+    __spark_entry__._phash_sql) has THREE legs: Spark conv(substr(md5)),
+    DuckDB ('0x'||substr(md5))::bigint, Python int(md5[:15],16).  The
+    Spark≡DuckDB legs are pinned by every minhash/simhash/winnow contract
+    row; this pins DuckDB≡Python on arbitrary unicode."""
+    import hashlib
+
+    expect = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    got = duckdb.execute(
+        "SELECT ('0x' || substr(md5(?), 1, 15))::bigint", [s]
+    ).fetchone()[0]
+    assert got == expect, repr(s)
