@@ -795,7 +795,18 @@ def oracle_sql() -> dict[str, str]:
           a0 AS (SELECT e.vec_id, e.emb, c.cent_id,
                    round(list_dot_product(e.emb, c.cv) /
                          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS csim
-                 FROM e CROSS JOIN c)"""
+                 FROM e CROSS JOIN c),
+          a1 AS (SELECT vec_id, emb, cent_id FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS ark
+                   FROM a0) WHERE ark = 1),
+          kx AS (SELECT cent_id, unnest(generate_series(1, len(emb))) AS pos, unnest(emb) AS x FROM a1),
+          km AS (SELECT cent_id, pos, sum(cast(round(x * 1000000.0) AS bigint)) AS s, count(*) AS n
+                 FROM kx GROUP BY 1, 2),
+          c2 AS (SELECT cent_id, list(s::double / 1000000.0 / n ORDER BY pos) AS cv FROM km GROUP BY 1),
+          a2 AS (SELECT e.vec_id, e.emb, c2.cent_id,
+                   round(list_dot_product(e.emb, c2.cv) /
+                         (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c2.cv, c2.cv))), 9) AS csim
+                 FROM e CROSS JOIN c2)"""
 
     # ---- T1/T2 twin: the 2-batch drain as pure SQL ----------------------
     # One batch = gate (robots longest-prefix) → politeness budget rank →
@@ -1147,7 +1158,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": emb_prefix + """,
           asn AS (SELECT vec_id, emb, cent_id FROM (
                     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS ark
-                    FROM a0) WHERE ark = 1),
+                    FROM a2) WHERE ark = 1),
           p AS (SELECT l.vec_id AS a, r.vec_id AS b,
                   round(list_dot_product(l.emb, r.emb) /
                         (sqrt(list_dot_product(l.emb, l.emb)) * sqrt(list_dot_product(r.emb, r.emb))), 6) AS cos
@@ -1156,14 +1167,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": emb_prefix + """,
           asn AS (SELECT vec_id, cent_id FROM (
                     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS ark
-                    FROM a0) WHERE ark <= 3),
+                    FROM a2) WHERE ark <= 3),
           q AS (SELECT vec_id AS query_id, emb AS qe FROM e ORDER BY vec_id LIMIT 10),
           pr AS (SELECT query_id, cent_id FROM (
                    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cent_id ASC) AS prk
-                   FROM (SELECT q.query_id, c.cent_id,
-                           round(list_dot_product(q.qe, c.cv) /
-                                 (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS csim
-                         FROM q CROSS JOIN c))
+                   FROM (SELECT q.query_id, c2.cent_id,
+                           round(list_dot_product(q.qe, c2.cv) /
+                                 (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c2.cv, c2.cv))), 9) AS csim
+                         FROM q CROSS JOIN c2))
                  WHERE prk <= 12),
           cand AS (SELECT DISTINCT pr.query_id, asn.vec_id
                    FROM pr JOIN asn USING (cent_id) WHERE asn.vec_id != pr.query_id),

@@ -392,9 +392,49 @@ def _sampled_centroids(emb: DataFrame, n_centroids: int) -> DataFrame:
     )
 
 
+def _refined_centroids(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """One deterministic Lloyd (k-means) refinement pass over the
+    sampled centroids (VERDICT r1 item 7): assign every vector to its
+    single nearest sampled centroid, then move each centroid to its
+    cluster's element-wise mean.  Empty clusters drop out (standard
+    Lloyd); surviving centroids keep their sampled cent_id as the
+    stable tie-break key.
+
+    Floating-point sums are accumulation-order-dependent — a groupBy
+    avg over doubles is NOT parallelism-invariant and could never have
+    an exact DuckDB twin.  The mean is therefore taken over int64
+    QUANTIZED coordinates (round(x·1e6)): integer sums are exact and
+    order-free, and the final division is a fixed sequence of two fp
+    ops — bit-identical in Spark and DuckDB.  Quantization error
+    (≤5e-7 per coordinate) is far below any clustering signal.  At
+    corpus scale this is one n·k assignment pass plus one (cent, dim)
+    aggregation — both embarrassingly parallel, no serial stage."""
+    dims = (
+        _centroid_assignment(emb, cents, n_assign=1)
+        .select(
+            "cent_id",
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x.cast("double") * F.lit(1e6)).cast("long"),
+                )
+            ).alias("pos", "q"),
+        )
+        .groupBy("cent_id", "pos")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+    )
+    c2 = dims.groupBy("cent_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+            lambda t: t["s"].cast("double") / F.lit(1e6) / t["n"],
+        ).alias("c")
+    )
+    return c2.select("cent_id", "c", _norm(F.col("c")).alias("nc"))
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 10,
                  n_centroids: int | None = None, nprobe: int = 12,
-                 n_assign: int = 3) -> DataFrame:
+                 n_assign: int = 3, refine: bool = True) -> DataFrame:
     """IVF-flat ANN — the 100 TB scale path: vectors are bucketed by
     their ``n_assign`` nearest coarse centroids once (a write-time
     partitioning in a real deployment); a query scans only its ``nprobe``
@@ -416,6 +456,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 
     if n_centroids is None:
         n_centroids = scaled_n_centroids(emb.count())
     cents = _sampled_centroids(emb, n_centroids)
+    if refine:
+        cents = _refined_centroids(emb, cents)
     assigned = _centroid_assignment(emb, cents, n_assign=n_assign)
     queries = (
         emb.orderBy("vec_id").limit(n_queries)
@@ -463,7 +505,7 @@ def _centroid_assignment(emb: DataFrame, cents: DataFrame,
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str, cos_threshold: float = 0.3,
-                    n_centroids: int | None = None) -> DataFrame:
+                    n_centroids: int | None = None, refine: bool = True) -> DataFrame:
     """Embedding-cosine near-dup pairs, centroid-blocked: candidate pairs
     are generated only within a coarse-centroid bucket (the IVF write-time
     partitioning — self-join never goes corpus-quadratic), then exact
@@ -477,7 +519,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str, cos_threshold: float = 0.3
     )
     if n_centroids is None:
         n_centroids = scaled_n_centroids(emb.count())
-    assigned = _centroid_assignment(emb, _sampled_centroids(emb, n_centroids))
+    cents = _sampled_centroids(emb, n_centroids)
+    if refine:
+        cents = _refined_centroids(emb, cents)
+    assigned = _centroid_assignment(emb, cents)
     return (
         assigned.alias("l")
         .join(assigned.alias("r"), "cent_id")
