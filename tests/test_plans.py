@@ -159,3 +159,34 @@ def test_schedule_windows_are_codegen_adjacent(spark, fixture_dir):
         scheduled.collect()
         final = plan_of(scheduled)
         assert final.count("ReusedExchange") >= n_arrow - 1, final[:3000]
+
+
+def test_pipeline_clean_corpus_plan(spark):
+    """The flagship cleaning chain stays entirely JVM-side (no Python
+    stage of any kind) and shuffles exactly twice — once per dedup
+    window key; the quality/lang filters run BEFORE both exchanges so
+    shuffled bytes are already pruned."""
+    from crawlfront import analytics
+
+    df = analytics.pipeline_clean_corpus(spark, "/root/testdata/sf0.01")
+    p = plan_of(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # exactly two content-hash window exchanges (plus the parallel=True
+    # scan round-robin); nothing else may shuffle
+    assert p.count("Arguments: hashpartitioning") == 2, p[:4000]
+    assert p.count("RoundRobinPartitioning") == 1
+    # the lang/quality filter runs in the scan stage, BELOW the first
+    # exchange: the node numbered before the deepest hash exchange must
+    # include the quality-cut Filter (formatted plans number leaves
+    # first, so filter-id < exchange-id ⇒ filter is upstream)
+    import re
+
+    filt = min(
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) Filter", p)
+    )
+    exch = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) Exchange", p)
+    ]
+    assert filt < min(exch), (filt, exch)
