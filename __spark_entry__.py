@@ -587,6 +587,60 @@ def _q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join with a region filter — the
+    canonical mixed broadcast/shuffle multi-join.  The two tiny dims
+    (nation, region) broadcast; customer/orders/lineitem/supplier join
+    on their keys with the fact-side equi-condition c_nationkey =
+    s_nationkey ('local' suppliers).  Catalyst orders the joins; AQE
+    re-plans the post-filter sides at runtime."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-join (the having-subquery
+    pattern) — lineitem pre-aggregates to order totals (map-side
+    combinable), the big-order slice joins orders + broadcast customer,
+    top-100 by total quantity with a total tie-break so the limit cut
+    is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 140)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
 def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -665,6 +719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_running_window": _q_running_window,
         "q1_pricing_summary": _q_q1_pricing,
         "q3_top_orders": _q_q3_top_orders,
+        "q5_local_volume": _q_q5_local_volume,
+        "q18_large_orders": _q_q18_large_orders,
         "u2_anti_join": _q_anti_join,
         "u3_semi_join": _q_semi_join,
         "x8_array_norm": _q_array_norm,
@@ -1091,6 +1147,28 @@ def oracle_sql() -> dict[str, str]:
           WHERE c_mktsegment = 'BUILDING'
           GROUP BY l_orderkey, o_orderdate
           ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+        "q5_local_volume": """
+          SELECT n_name,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                 count(*) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate <  TIMESTAMP '1997-01-01'
+          GROUP BY n_name""",
+        "q18_large_orders": """
+          WITH big AS (
+            SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 140)
+          SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+          FROM big JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""",
         "u2_anti_join": "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
         "u3_semi_join": """
           SELECT c_mktsegment, count(*) AS n_customers FROM customer c
