@@ -742,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, scan_pages(spark, _fx(sf_dir))
         ),
         "pipeline_clean_corpus": analytics.pipeline_clean_corpus,
+        "bm25_topk": analytics.bm25_topk,
     }
 
 
@@ -1295,6 +1296,31 @@ def oracle_sql() -> dict[str, str]:
                  ceil(length(text) / 4.0)::int AS bpe_est_tokens
           FROM documents""",
         "doc_fingerprint": "SELECT doc_id, md5(substr(text, 1, 100)) AS fp_head, n_chars::bigint AS n_chars FROM documents",
+        "bm25_topk": """
+          WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          d2 AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+          st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+                   sum(list_contains(toks, 'hash')::int)   AS df_0,
+                   sum(list_contains(toks, 'join')::int)   AS df_1,
+                   sum(list_contains(toks, 'stream')::int) AS df_2
+                 FROM d2),
+          s AS (SELECT doc_id, round(
+              0.0
+              + ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1.0)
+                * (len(list_filter(toks, x -> x = 'hash')) * (1.2 + 1.0))
+                / (len(list_filter(toks, x -> x = 'hash'))
+                   + 1.2 * (0.25 + 0.75 * dl / (sum_dl::double / n_docs)))
+              + ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1.0)
+                * (len(list_filter(toks, x -> x = 'join')) * (1.2 + 1.0))
+                / (len(list_filter(toks, x -> x = 'join'))
+                   + 1.2 * (0.25 + 0.75 * dl / (sum_dl::double / n_docs)))
+              + ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1.0)
+                * (len(list_filter(toks, x -> x = 'stream')) * (1.2 + 1.0))
+                / (len(list_filter(toks, x -> x = 'stream'))
+                   + 1.2 * (0.25 + 0.75 * dl / (sum_dl::double / n_docs)))
+              , 4) AS bm25
+            FROM d2 CROSS JOIN st)
+          SELECT doc_id, bm25 FROM s ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
         "pipeline_clean_corpus": """
           WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
           scored AS (

@@ -63,6 +63,7 @@ HEADLINE = [
     "quality_score",
     "token_count",
     "pipeline_clean_corpus",
+    "bm25_topk",
 ]
 
 

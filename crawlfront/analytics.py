@@ -621,6 +621,48 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str, k: int = 5, w: int = 8
     ).distinct()
 
 
+def bm25_topk(spark: SparkSession, sf_dir: str,
+              terms: tuple = ("hash", "join", "stream"), k: int = 20) -> DataFrame:
+    """BM25 relevance top-k for a literal query — the retrieval/quality
+    scorer of a corpus pipeline.  Okapi BM25 (k1=1.2, b=0.75) with the
+    standard ln(1 + (N-df+0.5)/(df+0.5)) idf.
+
+    Scale + determinism design: corpus statistics (N, Σdl, per-term
+    document frequencies) are EXACT integer aggregates (one map-side-
+    combinable pass, broadcast back as a 1-row frame), so avgdl and the
+    idfs are single fp ops on exact ints — parallelism-invariant.  The
+    per-doc score is a fixed-order SCALAR expression over the literal
+    terms (tf via array filter, all codegen): no fp reduction whose
+    accumulation order could vary, which is what makes the DuckDB twin
+    exact.  Top-k is a distributed TakeOrdered on (score desc, doc_id)."""
+    docs = _read(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.array_contains("toks", t).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    j = docs.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf = F.size(F.filter("toks", lambda x: x == F.lit(t)))
+        df = F.col(f"df_{i}")
+        idf = F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+        score = score + idf * (tf * (1.2 + 1.0)) / (
+            tf + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / avgdl)
+        )
+    return (
+        j.select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str,
                           min_quality: float = 0.6, n_shards: int = 8) -> DataFrame:
     """Flagship end-to-end training-data cleaning pipeline — the
