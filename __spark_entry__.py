@@ -743,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "pipeline_clean_corpus": analytics.pipeline_clean_corpus,
         "bm25_topk": analytics.bm25_topk,
+        "split_assign": analytics.split_assign,
     }
 
 
@@ -1296,6 +1297,15 @@ def oracle_sql() -> dict[str, str]:
                  ceil(length(text) / 4.0)::int AS bpe_est_tokens
           FROM documents""",
         "doc_fingerprint": "SELECT doc_id, md5(substr(text, 1, 100)) AS fp_head, n_chars::bigint AS n_chars FROM documents",
+        "split_assign": f"""
+          WITH b AS (SELECT doc_id,
+                       ({_phash_sql("'split-v1|' || doc_id::varchar")} % 1000)::int AS bucket
+                     FROM documents)
+          SELECT doc_id, bucket,
+                 CASE WHEN bucket < 900 THEN 'train'
+                      WHEN bucket < 950 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM b""",
         "bm25_topk": """
           WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
           d2 AS (SELECT doc_id, toks, len(toks) AS dl FROM d),

@@ -663,6 +663,30 @@ def bm25_topk(spark: SparkSession, sf_dir: str,
     )
 
 
+def split_assign(spark: SparkSession, sf_dir: str,
+                 salt: str = "split-v1") -> DataFrame:
+    """Deterministic train/val/test split assignment (90/5/5): bucket =
+    pmod(portable_hash64(salt ‖ doc_id), 1000).  The split is a pure
+    function of (salt, doc_id) — reproducible across runs, engines and
+    cluster sizes, stable under corpus growth (adding docs never moves
+    an existing doc's split), and re-saltable for a fresh split without
+    touching the data.  This is how a 10^10-doc corpus is split: no
+    rand(), no global sort, no sampling pass — one codegen expression."""
+    docs = _read(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        portable_hash64(F.concat(F.lit(salt), F.lit("|"), F.col("doc_id").cast("string"))),
+        F.lit(1000),
+    )
+    return docs.select(
+        "doc_id",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < 900, F.lit("train"))
+        .when(bucket < 950, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str,
                           min_quality: float = 0.6, n_shards: int = 8) -> DataFrame:
     """Flagship end-to-end training-data cleaning pipeline — the
