@@ -701,13 +701,18 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str,
          (md5 of the first 100 chars, as doc_fingerprint)
       5. shard assignment for training output: pmod(hash(content), S)
 
-    Scale notes: stages 3/4 are windows partitioned by a CONTENT hash
-    (skew bounded by the duplicate-group size, never a hot host/key);
-    stage 5 is hash-sharding, not token-cumsum packing — a cumulative
-    sum needs a global order (a serial stage at 10^10 docs), while hash
-    sharding is embarrassingly parallel and balanced by construction.
-    Whole pipeline = 2 shuffles (one per dedup key); filters run before
-    both shuffles so shuffled bytes are already quality-pruned.
+    Scale notes: stages 3/4 are NOT windows — web dup groups are
+    heavy-tailed (boilerplate pages repeat 10^8×) and a row_number
+    window partitioned by the content hash would sort the hottest group
+    in ONE task (WindowExec skew is not AQE-splittable).  Instead each
+    stage is min-per-group (partial aggregation compresses the hot key
+    map-side before it ever shuffles) + a left-semi join back on
+    (key, doc_id) — the hot group's probe rows carry distinct doc_ids,
+    so the join shuffle spreads them uniformly with no skew handling
+    needed.  Stage 5 is hash-sharding, not token-cumsum packing — a
+    cumulative sum needs a global order (a serial stage at 10^10 docs).
+    Filters run before every shuffle so shuffled bytes are already
+    quality-pruned.
     """
     docs = _read(spark, sf_dir, "documents", parallel=True)
     toks = F.split("text", " ")
@@ -731,15 +736,13 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str,
         F.when(cjk_ratio > 0.2, F.lit("zh")).otherwise(F.lit("en")).alias("pred_lang"),
         F.ceil(F.length("text") / 4.0).cast("int").alias("bpe_est_tokens"),
     ).filter((F.col("pred_lang") == "en") & (F.col("quality") >= min_quality))
-    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    w_head = Window.partitionBy(F.md5(F.substring("text", 1, 100))).orderBy("doc_id")
-    kept = (
-        scored.withColumn("_rn", F.row_number().over(w_exact))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        .withColumn("_rn", F.row_number().over(w_head))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    def keep_min(df: DataFrame, key) -> DataFrame:
+        with_key = df.withColumn("_k", key)
+        mins = with_key.groupBy("_k").agg(F.min("doc_id").alias("doc_id"))
+        return with_key.join(mins, ["_k", "doc_id"], "left_semi").drop("_k")
+
+    kept = keep_min(
+        keep_min(scored, F.md5("text")), F.md5(F.substring("text", 1, 100))
     )
     return kept.select(
         "doc_id",

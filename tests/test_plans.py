@@ -163,30 +163,27 @@ def test_schedule_windows_are_codegen_adjacent(spark, fixture_dir):
 
 def test_pipeline_clean_corpus_plan(spark):
     """The flagship cleaning chain stays entirely JVM-side (no Python
-    stage of any kind) and shuffles exactly twice — once per dedup
-    window key; the quality/lang filters run BEFORE both exchanges so
-    shuffled bytes are already pruned."""
+    stage of any kind) and contains NO window operator: web dup groups
+    are heavy-tailed and WindowExec skew is not AQE-splittable, so each
+    dedup stage is partial-agg min + left-semi join back (hot groups
+    spread across doc_ids).  The quality/lang filter runs below every
+    exchange so shuffled bytes are already pruned."""
     from crawlfront import analytics
 
     df = analytics.pipeline_clean_corpus(spark, "/root/testdata/sf0.01")
     p = plan_of(df)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    # exactly two content-hash window exchanges (plus the parallel=True
-    # scan round-robin); nothing else may shuffle
-    assert p.count("Arguments: hashpartitioning") == 2, p[:4000]
-    assert p.count("RoundRobinPartitioning") == 1
-    # the lang/quality filter runs in the scan stage, BELOW the first
-    # exchange: the node numbered before the deepest hash exchange must
-    # include the quality-cut Filter (formatted plans number leaves
-    # first, so filter-id < exchange-id ⇒ filter is upstream)
+    assert "Window" not in p  # the skew-unsafe formulation must not return
+    # two dedup stages → ≥2 left-semi joins (textual count can exceed 2:
+    # Catalyst prints shared subtrees once per DAG path); hash exchanges
+    # only for the min-aggregations, never a global sort
+    assert p.count("LeftSemi") >= 2, p[:4000]
+    assert "Exchange rangepartitioning" not in p
+    # the lang/quality filter runs in the scan stage, BELOW every
+    # exchange (formatted plans number leaves first, so filter-id <
+    # exchange-id ⇒ filter is upstream)
     import re
 
-    filt = min(
-        int(m.group(1))
-        for m in re.finditer(r"\((\d+)\) Filter", p)
-    )
-    exch = [
-        int(m.group(1))
-        for m in re.finditer(r"\((\d+)\) Exchange", p)
-    ]
+    filt = min(int(m.group(1)) for m in re.finditer(r"\((\d+)\) Filter", p))
+    exch = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) Exchange", p)]
     assert filt < min(exch), (filt, exch)
