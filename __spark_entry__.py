@@ -744,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": analytics.pipeline_clean_corpus,
         "bm25_topk": analytics.bm25_topk,
         "split_assign": analytics.split_assign,
+        "repetition_score": analytics.repetition_score,
     }
 
 
@@ -1297,6 +1298,16 @@ def oracle_sql() -> dict[str, str]:
                  ceil(length(text) / 4.0)::int AS bpe_est_tokens
           FROM documents""",
         "doc_fingerprint": "SELECT doc_id, md5(substr(text, 1, 100)) AS fp_head, n_chars::bigint AS n_chars FROM documents",
+        "repetition_score": """
+          WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          b AS (SELECT doc_id, CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(len(toks) - 1),
+                                      j -> array_to_string(toks[j + 1 : j + 2], ' '))
+                  ELSE [array_to_string(toks, ' ')] END AS bg
+                FROM t)
+          SELECT doc_id, len(bg)::int AS n_bigrams,
+                 round(1 - len(list_distinct(bg)) / greatest(len(bg), 1)::double, 4) AS rep_ratio
+          FROM b""",
         "split_assign": f"""
           WITH b AS (SELECT doc_id,
                        ({_phash_sql("'split-v1|' || doc_id::varchar")} % 1000)::int AS bucket

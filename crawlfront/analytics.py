@@ -663,6 +663,23 @@ def bm25_topk(spark: SparkSession, sf_dir: str,
     )
 
 
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signal: the fraction of
+    word 2-grams that are duplicates of an earlier 2-gram in the same
+    doc (1 − distinct/total).  Boilerplate and spam score high; the
+    standard pre-training cut drops the top tail.  Pure array HOFs, one
+    scan, no shuffle — embarrassingly parallel at any corpus size."""
+    docs = _read(spark, sf_dir, "documents", parallel=True)
+    bigrams = _shingles(F.split("text", " "), 2)
+    n = F.size(bigrams)
+    nd = F.size(F.array_distinct(bigrams))
+    return docs.select(
+        "doc_id",
+        n.cast("int").alias("n_bigrams"),
+        F.round(1 - nd / F.greatest(n, F.lit(1)), 4).alias("rep_ratio"),
+    )
+
+
 def split_assign(spark: SparkSession, sf_dir: str,
                  salt: str = "split-v1") -> DataFrame:
     """Deterministic train/val/test split assignment (90/5/5): bucket =
