@@ -857,7 +857,9 @@ def oracle_sql() -> dict[str, str]:
                  FROM e CROSS JOIN c),
           a1 AS (SELECT vec_id, emb, cent_id FROM (
                    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS ark
-                   FROM a0) WHERE ark = 1),
+                   FROM a0
+                   WHERE ({_phash_sql("'kmeans|' || vec_id::varchar")} % 4) = 0
+                 ) WHERE ark = 1),
           kx AS (SELECT cent_id, unnest(generate_series(1, len(emb))) AS pos, unnest(emb) AS x FROM a1),
           km AS (SELECT cent_id, pos, sum(cast(round(x * 1000000.0) AS bigint)) AS s, count(*) AS n
                  FROM kx GROUP BY 1, 2),

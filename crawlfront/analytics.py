@@ -392,13 +392,19 @@ def _sampled_centroids(emb: DataFrame, n_centroids: int) -> DataFrame:
     )
 
 
-def _refined_centroids(emb: DataFrame, cents: DataFrame) -> DataFrame:
+def _refined_centroids(emb: DataFrame, cents: DataFrame,
+                       sample_mod: int = 4) -> DataFrame:
     """One deterministic Lloyd (k-means) refinement pass over the
-    sampled centroids (VERDICT r1 item 7): assign every vector to its
+    sampled centroids (VERDICT r1 item 7): assign a deterministic
+    hash-sample of the vectors (1/``sample_mod`` of the corpus, salt
+    'kmeans' — independent of the centroid-selection hash) to their
     single nearest sampled centroid, then move each centroid to its
-    cluster's element-wise mean.  Empty clusters drop out (standard
-    Lloyd); surviving centroids keep their sampled cent_id as the
-    stable tie-break key.
+    cluster's element-wise mean.  Refining on a sample is the scale
+    play: at 10^10 vectors nobody k-means the full corpus — centroid
+    estimates converge at O(1/√sample), so a fixed-rate sample buys the
+    same centroids for 1/``sample_mod`` of the assignment cost.  Empty
+    clusters drop out (standard Lloyd); surviving centroids keep their
+    sampled cent_id as the stable tie-break key.
 
     Floating-point sums are accumulation-order-dependent — a groupBy
     avg over doubles is NOT parallelism-invariant and could never have
@@ -407,10 +413,18 @@ def _refined_centroids(emb: DataFrame, cents: DataFrame) -> DataFrame:
     order-free, and the final division is a fixed sequence of two fp
     ops — bit-identical in Spark and DuckDB.  Quantization error
     (≤5e-7 per coordinate) is far below any clustering signal.  At
-    corpus scale this is one n·k assignment pass plus one (cent, dim)
-    aggregation — both embarrassingly parallel, no serial stage."""
+    corpus scale this is one (n/sample_mod)·k assignment pass plus one
+    (cent, dim) aggregation — both embarrassingly parallel, no serial
+    stage."""
+    sample = emb.filter(
+        F.pmod(
+            portable_hash64(F.concat(F.lit("kmeans|"), F.col("vec_id").cast("string"))),
+            F.lit(sample_mod),
+        )
+        == 0
+    )
     dims = (
-        _centroid_assignment(emb, cents, n_assign=1)
+        _centroid_assignment(sample, cents, n_assign=1)
         .select(
             "cent_id",
             F.posexplode(
