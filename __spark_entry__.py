@@ -36,6 +36,7 @@ from crawlfront.frontier import (
     scan_robots,
     scan_seeds,
 )
+from crawlfront import ops
 from crawlfront.ops import hash32_of, hash64_of, host_of, partition_key, path_of, robots_allow
 from crawlfront.sqlhash import murmur3_ctes, pmod_sql, xxhash64_ctes
 
@@ -248,6 +249,62 @@ def _q_discover_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = discover_candidates(ex, _CFG, batch_id=1)
     fresh = cand.join(pending.select("url_norm"), "url_norm", "left_anti")
     return fresh.select("url_norm", "host", "depth", "priority").orderBy("url_norm")
+
+
+def _q_host_pagerank(spark: SparkSession, sf_dir: str, iters: int = 3) -> DataFrame:
+    """G1 — PageRank-style host authority over the discovered link
+    graph (src host → link host), the crawl-prioritization signal.
+
+    Iterative algorithms normally can't have exact cross-engine twins
+    because each iteration SUMS floating-point contributions in
+    nondeterministic accumulation order.  This one does: ranks are
+    INTEGER micro-units (start 1,000,000 per host), each iteration is
+    r'(v) = 150000 + Σ_incoming (r(u)·85 div 100) div outdeg(u) — all
+    int64 ops, exact and order-free, so 3 unrolled iterations are
+    bit-identical in Spark and DuckDB.  Dangling hosts leak mass
+    (documented PageRank variant); damping 0.85 as 85/100.
+
+    At corpus scale: edges shuffle once per iteration on dst (partial
+    int sums combine map-side); the iteration count is FIXED (unrolled
+    in the one declarative plan), not a driver loop with actions."""
+    fx = _fx(sf_dir)
+    pending = frontier_from_seeds(scan_seeds(spark, fx), _CFG)
+    scheduled, _, _, _ = gate_and_schedule(
+        pending, scan_robots(spark, fx), scan_politeness(spark, fx), _CFG
+    )
+    ex = fetch_and_extract(scheduled, scan_pages(spark, fx))
+    links = (
+        ex.filter(F.col("hit"))
+        .select(F.col("host").alias("src"), F.explode("ex.links").alias("link"))
+        .withColumn("url_norm", ops.udf_canonicalize("link"))
+        .filter(ops.is_http(F.col("url_norm")))
+    )
+    edges = links.select("src", ops.host_of("url_norm").alias("dst")).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e2 = edges.join(deg, "src")
+    ranks = nodes.select("host", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            e2.join(ranks.withColumnRenamed("host", "src"), "src")
+            .select("dst", F.expr("((r * 85) div 100) div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.host == contrib.dst, "left")
+            .select(
+                "host",
+                (F.lit(150000) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return ranks.select("host", F.col("r").alias("authority"))
 
 
 def _q_bloom_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_canonicalize": _q_canonicalize,
         "u1_union_distinct": _q_union_distinct,
         "j5_discover_links": _q_discover_links,
+        "g1_host_pagerank": _q_host_pagerank,
         "a4_bloom_shard_stats": _q_bloom_shard_stats,
         "t1_t2_drain_2batches": _q_drain_2batches,
         "o1_drain_limit": _q_drain_limit,
@@ -1025,6 +1083,51 @@ def oracle_sql() -> dict[str, str]:
                  1::int AS depth, 1::int AS priority
           FROM cand c ANTI JOIN frontier0 f USING (url_norm)
           ORDER BY url_norm""",
+        "g1_host_pagerank": schedule_sql
+        + f"""
+          , fetched AS (
+              SELECT e.host AS src, decode(p.html) AS doc
+              FROM eligible e JOIN {pages} p USING (url)),
+          raw_links AS (
+              SELECT src, unnest(regexp_extract_all(doc, 'href="([^"]*)"', 1)) AS href
+              FROM fetched),
+          resolved AS (
+              SELECT src,
+                     CASE WHEN contains(href, '/link?url=')
+                       THEN replace(replace(replace(replace(replace(
+                              regexp_extract(href, 'url=([^&]*)', 1),
+                              '%3A', ':'), '%2F', '/'), '%3F', '?'), '%3D', '='), '%26', '&')
+                       ELSE href END AS link
+              FROM raw_links),
+          canon AS (
+              SELECT src, {_canon_sql('link')} AS url_norm FROM resolved),
+          edges AS (
+              SELECT DISTINCT src,
+                     regexp_extract(url_norm, '^https?://([^/]+)', 1) AS dst
+              FROM canon
+              WHERE starts_with(url_norm, 'http://') OR starts_with(url_norm, 'https://')),
+          nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+          deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+          r0 AS (SELECT host, 1000000::bigint AS r FROM nodes),
+          r1 AS (SELECT n.host,
+                   (150000 + coalesce(sum(((x.r * 85) // 100) // x.outdeg), 0))::bigint AS r
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.dst, r0.r, d.outdeg FROM edges e
+                   JOIN r0 ON e.src = r0.host JOIN deg d ON e.src = d.src) x
+                 ON n.host = x.dst GROUP BY 1),
+          r2 AS (SELECT n.host,
+                   (150000 + coalesce(sum(((x.r * 85) // 100) // x.outdeg), 0))::bigint AS r
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.dst, r1.r, d.outdeg FROM edges e
+                   JOIN r1 ON e.src = r1.host JOIN deg d ON e.src = d.src) x
+                 ON n.host = x.dst GROUP BY 1),
+          r3 AS (SELECT n.host,
+                   (150000 + coalesce(sum(((x.r * 85) // 100) // x.outdeg), 0))::bigint AS r
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.dst, r2.r, d.outdeg FROM edges e
+                   JOIN r2 ON e.src = r2.host JOIN deg d ON e.src = d.src) x
+                 ON n.host = x.dst GROUP BY 1)
+          SELECT host, r AS authority FROM r3""",
         "u1_union_distinct": """
           SELECT c_custkey AS k FROM customer
           UNION
