@@ -785,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline (documents/embeddings)
         "dedup_exact": analytics.dedup_exact,
         "dedup_minhash_lsh": analytics.dedup_minhash_lsh,
+        "dedup_clusters": analytics.dedup_clusters,
         "dedup_simhash": analytics.dedup_simhash,
         "dedup_ngram_jaccard": analytics.dedup_ngram_jaccard,
         "dedup_embedding": analytics.dedup_embedding,
@@ -877,6 +878,18 @@ def oracle_sql() -> dict[str, str]:
                  {minhash_exprs}
                  FROM hl),
           banded AS ({minhash_bands})"""
+
+    # minhash LSH candidate pairs + exact-Jaccard verification (shared
+    # by dedup_minhash_lsh and dedup_clusters)
+    minhash_pairs_sql = minhash_prefix + """,
+          pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                    FROM banded l JOIN banded r
+                      ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+          vsh AS (SELECT doc_id, list_distinct(shl) AS s FROM sh),
+          ver AS (SELECT p.a, p.b,
+                    round(len(list_intersect(sa.s, sb.s)) /
+                          (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::double, 4) AS jaccard
+                  FROM pairs p JOIN vsh sa ON p.a = sa.doc_id JOIN vsh sb ON p.b = sb.doc_id)"""
 
     # simhash: 60 per-bit ±1 votes over per-token portable hashes
     simhash_votes = ",\n                 ".join(
@@ -1304,16 +1317,28 @@ def oracle_sql() -> dict[str, str]:
                  round(co.n_common / (sa.n_sh + sb.n_sh - co.n_common)::double, 4) AS jaccard
           FROM co JOIN sizes sa ON co.a = sa.doc_id JOIN sizes sb ON co.b = sb.doc_id
           WHERE round(co.n_common / (sa.n_sh + sb.n_sh - co.n_common)::double, 4) >= 0.5""",
-        "dedup_minhash_lsh": minhash_prefix + """,
-          pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-                    FROM banded l JOIN banded r
-                      ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
-          vsh AS (SELECT doc_id, list_distinct(shl) AS s FROM sh),
-          ver AS (SELECT p.a, p.b,
-                    round(len(list_intersect(sa.s, sb.s)) /
-                          (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::double, 4) AS jaccard
-                  FROM pairs p JOIN vsh sa ON p.a = sa.doc_id JOIN vsh sb ON p.b = sb.doc_id)
+        "dedup_minhash_lsh": minhash_pairs_sql + """
           SELECT a, b, jaccard FROM ver WHERE jaccard >= 0.5""",
+        "dedup_clusters": minhash_pairs_sql + """,
+          vp AS (SELECT a, b FROM ver WHERE jaccard >= 0.5),
+          sym AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),
+          l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),
+          l1 AS (SELECT l.doc_id,
+                   least(l.cluster_id, coalesce(min(n.cluster_id), l.cluster_id)) AS cluster_id
+                 FROM l0 l LEFT JOIN sym e ON l.doc_id = e.a
+                 LEFT JOIN l0 n ON e.b = n.doc_id
+                 GROUP BY l.doc_id, l.cluster_id),
+          l2 AS (SELECT l.doc_id,
+                   least(l.cluster_id, coalesce(min(n.cluster_id), l.cluster_id)) AS cluster_id
+                 FROM l1 l LEFT JOIN sym e ON l.doc_id = e.a
+                 LEFT JOIN l1 n ON e.b = n.doc_id
+                 GROUP BY l.doc_id, l.cluster_id),
+          l3 AS (SELECT l.doc_id,
+                   least(l.cluster_id, coalesce(min(n.cluster_id), l.cluster_id)) AS cluster_id
+                 FROM l2 l LEFT JOIN sym e ON l.doc_id = e.a
+                 LEFT JOIN l2 n ON e.b = n.doc_id
+                 GROUP BY l.doc_id, l.cluster_id)
+          SELECT doc_id, cluster_id, doc_id = cluster_id AS is_kept FROM l3""",
         "simhash_fingerprints": simhash_prefix + """
           SELECT doc_id, simhash FROM fp""",
         "dedup_simhash": simhash_prefix + f""",

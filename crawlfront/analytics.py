@@ -677,6 +677,47 @@ def bm25_topk(spark: SparkSession, sf_dir: str,
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str, rounds: int = 3) -> DataFrame:
+    """Near-duplicate CLUSTERS from the verified MinHash pair list — the
+    step a real pipeline runs after pair generation: transitive closure
+    so each dup group keeps exactly one canonical doc (the min doc_id).
+
+    Min-label propagation over the symmetric pair graph, ``rounds``
+    unrolled iterations: label'(v) = min(label(v), min_{u~v} label(u)).
+    min over int64 is exact and accumulation-order-free, so the DuckDB
+    twin hashes identically — the same trick as g1_host_pagerank.
+    Exact when cluster diameter ≤ ``rounds`` (near-dup clusters are
+    dense — LSH emits most intra-cluster pairs directly, so diameters
+    are tiny); at corpus scale you loop to a fixed point with a
+    converged-count check per round (semi-naive iteration), same plan
+    per round.  Every doc gets a row; singletons are their own cluster."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a", "b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    for _ in range(rounds):
+        nm = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("b"), F.col("cluster_id").alias("nl")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nl"))
+        )
+        labels = labels.join(nm, labels.doc_id == nm.a, "left").select(
+            "doc_id",
+            F.least(F.col("cluster_id"), F.coalesce(F.col("nl"), F.col("cluster_id"))).alias(
+                "cluster_id"
+            ),
+        )
+    return labels.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_kept")
+    )
+
+
 def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition signal: the fraction of
     word 2-grams that are duplicates of an earlier 2-gram in the same

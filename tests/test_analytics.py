@@ -132,6 +132,36 @@ def test_pipeline_clean_corpus(spark):
     assert all(r["quality"] == quality[r["doc_id"]] for r in out)
 
 
+def test_dedup_clusters_closure(spark):
+    """Label propagation reaches the transitive closure of the verified
+    pair graph at sf0.01 (cluster diameters < rounds): every pair lands
+    in one cluster, the canonical member is the cluster min, and
+    singletons keep their own id."""
+    pairs = [(r["a"], r["b"]) for r in analytics.dedup_minhash_lsh(spark, SF).collect()]
+    got = {r["doc_id"]: (r["cluster_id"], r["is_kept"])
+           for r in analytics.dedup_clusters(spark, SF).collect()}
+    # union-find ground truth
+    parent = {d: d for d in got}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    from collections import defaultdict
+    comp = defaultdict(list)
+    for d in got:
+        comp[find(d)].append(d)
+    assert len(pairs) > 0
+    for members in comp.values():
+        canon = min(members)
+        for d in members:
+            cid, kept = got[d]
+            assert cid == canon, (d, cid, canon)
+            assert kept == (d == canon)
+
+
 def test_multimodal_plumbing(spark):
     from crawlfront.fixtures import fixture_dir_for_sf
     from crawlfront.frontier import scan_pages
