@@ -251,6 +251,17 @@ def _q_discover_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fresh.select("url_norm", "host", "depth", "priority").orderBy("url_norm")
 
 
+def _q_url_trap_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — crawler-trap detection features per URL: calendar/session
+    traps pollute a frontier with unbounded synthetic URLs, so the
+    gate needs a cheap per-URL structural score BEFORE scheduling.
+    Features: path depth, adjacent-repeated path segment (the /a/a/a/
+    loop signature), query-param count; is_trap flags any of repeated
+    segment, depth > 8, or > 5 params.  All codegen string/array ops —
+    scales as a pure map over the frontier, no shuffle."""
+    return ops.url_trap_features(scan_pages(spark, _fx(sf_dir)).select("url"))
+
+
 def _q_host_pagerank(spark: SparkSession, sf_dir: str, iters: int = 3) -> DataFrame:
     """G1 — PageRank-style host authority over the discovered link
     graph (src host → link host), the crawl-prioritization signal.
@@ -754,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_union_distinct": _q_union_distinct,
         "j5_discover_links": _q_discover_links,
         "g1_host_pagerank": _q_host_pagerank,
+        "p7_url_trap_score": _q_url_trap_score,
         "a4_bloom_shard_stats": _q_bloom_shard_stats,
         "t1_t2_drain_2batches": _q_drain_2batches,
         "o1_drain_limit": _q_drain_limit,
@@ -1096,6 +1108,25 @@ def oracle_sql() -> dict[str, str]:
                  1::int AS depth, 1::int AS priority
           FROM cand c ANTI JOIN frontier0 f USING (url_norm)
           ORDER BY url_norm""",
+        "p7_url_trap_score": f"""
+          WITH s AS (SELECT url, {_PATH_SQL} AS path FROM {pages}),
+          g AS (SELECT url,
+                  list_filter(string_split(path, '/'), x -> x != '') AS segs,
+                  CASE WHEN contains(url, '?')
+                    THEN len(string_split(split_part(url, '?', 2), '&'))
+                    ELSE 0 END::int AS n_params
+                FROM s),
+          f AS (SELECT url, len(segs)::int AS depth,
+                  CASE WHEN len(segs) >= 2
+                    THEN list_contains(
+                           list_transform(range(len(segs) - 1),
+                                          i -> segs[i + 1] = segs[i + 2]), TRUE)
+                    ELSE FALSE END AS has_repeat,
+                  n_params
+                FROM g)
+          SELECT url, depth, has_repeat, n_params,
+                 (has_repeat OR depth > 8 OR n_params > 5) AS is_trap
+          FROM f""",
         "g1_host_pagerank": schedule_sql
         + f"""
           , fetched AS (

@@ -115,6 +115,44 @@ def is_http(url: Column) -> Column:
     return url.startswith("http://") | url.startswith("https://")
 
 
+def url_trap_features(urls):
+    """P7 — crawler-trap structural features per URL (calendar/session
+    traps pollute a frontier with unbounded synthetic URLs; the gate
+    needs a cheap per-URL score BEFORE scheduling).  Features: path
+    depth, adjacent-repeated path segment (the /a/a/a/ loop signature),
+    query-param count; ``is_trap`` flags repeated segment ∨ depth > 8 ∨
+    > 5 params.  All codegen string/array ops — a pure map over the
+    frontier, no shuffle at any scale."""
+    path = path_of("url")
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    depth = F.size(segs)
+    # length clamped at 0: a root path ('/') has depth 0 and slice
+    # rejects negative lengths at runtime (caught by the positive-path
+    # unit test — the fixture corpus never exercises depth 0)
+    adj = F.greatest(depth - 1, F.lit(0))
+    has_repeat = F.exists(
+        F.zip_with(
+            F.slice(segs, F.lit(1), adj),
+            F.slice(segs, F.lit(2), adj),
+            lambda a, b: a == b,
+        ),
+        lambda x: x,
+    )
+    q = F.try_parse_url(F.col("url"), F.lit("QUERY"))
+    n_params = (
+        F.when(q.isNull() | (q == ""), F.lit(0))
+        .otherwise(F.size(F.split(q, "&")))
+        .cast("int")
+    )
+    return urls.select(
+        "url",
+        depth.cast("int").alias("depth"),
+        has_repeat.alias("has_repeat"),
+        n_params.alias("n_params"),
+        (has_repeat | (depth > 8) | (n_params > 5)).alias("is_trap"),
+    )
+
+
 def global_index(df, order_cols: list[str], n_partitions: int = 64,
                  name: str = "global_idx", base: int = 0):
     """Global dense 0-based index over an UNBOUNDED dataframe without a

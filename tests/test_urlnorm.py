@@ -59,3 +59,25 @@ def test_resolve_redirect():
     )
     assert resolve_redirect("https://h/a/1") == "https://h/a/1"
     assert resolve_redirect("https://h/link?x=1") == "https://h/link?x=1"
+
+
+def test_url_trap_features_positive_paths(spark):
+    """ops.url_trap_features flags the three trap signatures (the
+    fixture corpus is trap-free, so the contract row only exercises the
+    negative path — this pins the positives)."""
+    from crawlfront.ops import url_trap_features
+
+    cases = [
+        ("https://h.example/a/b/c", False),                       # clean
+        ("https://h.example/cal/cal/2020", True),                 # repeat
+        ("https://h.example/" + "/".join("abcdefghij"), True),    # depth 10
+        ("https://h.example/x?a=1&b=2&c=3&d=4&e=5&f=6", True),    # params
+        ("https://h.example/", False),                            # root
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r for r in url_trap_features(df).collect()}
+    for u, trap in cases:
+        assert got[u]["is_trap"] == trap, (u, dict(got[u].asDict()))
+    assert got["https://h.example/"]["depth"] == 0
+    assert got["https://h.example/cal/cal/2020"]["has_repeat"]
+    assert got["https://h.example/x?a=1&b=2&c=3&d=4&e=5&f=6"]["n_params"] == 6
