@@ -1373,7 +1373,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": simhash_prefix + """
           SELECT doc_id, simhash FROM fp""",
         "dedup_simhash": simhash_prefix + f""",
-          banded AS ({simhash_bands})
+          banded0 AS ({simhash_bands}),
+          kept_b AS (SELECT band, key FROM banded0
+                     GROUP BY band, key HAVING count(*) <= 100),
+          banded AS (SELECT banded0.* FROM banded0 JOIN kept_b USING (band, key))
           SELECT a, b, hamming FROM (
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
                    bit_count(xor(l.simhash, r.simhash))::int AS hamming

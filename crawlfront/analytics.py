@@ -270,10 +270,27 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", fp.cast("long").alias("simhash"))
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 3,
+                  max_bucket: int = 100) -> DataFrame:
     """Near-dup pairs by SimHash: 15-bit band exact-match generates
     candidates (any pair within hamming ≤3 of 60 bits shares ≥1 of the 4
-    bands, pigeonhole), then exact popcount(xor) filter."""
+    bands, pigeonhole), then exact popcount(xor) filter.
+
+    Hot-bucket guard (the VERDICT-r2 scale fix, same shape as
+    ``dedup_ngram_jaccard``'s stop-shingle guard): a (band, key) bucket
+    holding d docs contributes d² rows to the within-bucket self-join in
+    ONE task — at 10^10 docs a boilerplate-heavy band key (every page of
+    a template site hashes the same 15 bits) is a single-key n² explosion
+    no AQE skew split can save, because the blow-up happens in the join
+    output, not the input.  Buckets with population > ``max_bucket`` are
+    dropped BEFORE the self-join via a map-side-partial groupBy + left
+    semi (never a window), bounding the worst key at max_bucket² rows.
+    Recall note: a pair is lost only if EVERY band it shares is hot —
+    pairs co-occurring in any surviving band are still found (the
+    ``distinct`` merges multi-band hits), and a hot bucket means ≥
+    max_bucket mutually-near docs, which exact-dedup/clustering upstream
+    should have collapsed anyway.  The DuckDB twin mirrors the guard
+    (same GROUP BY/HAVING), so the contract stays value-exact."""
     fp = simhash_docs(spark, sf_dir)
     band_mask = (1 << SIMHASH_BAND_BITS) - 1
     banded = fp.select(
@@ -291,6 +308,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> Dat
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
+    keep = (
+        banded.groupBy("band", "key").agg(F.count("*").alias("pop"))
+        .filter(F.col("pop") <= max_bucket).select("band", "key")
+    )
+    banded = banded.join(keep, ["band", "key"], "left_semi")
     return (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "key"])
