@@ -77,12 +77,14 @@ from hypothesis import given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 # NUL is excluded: DuckDB VARCHAR rejects embedded \x00 at bind time, and
-# no operational input (URLs, shingles) can carry it.  Everything else —
-# multibyte UTF-8, astral plane, non-4-byte-aligned tails — is fair game.
-_texts = st.lists(
-    st.text(st.characters(blacklist_characters="\x00"), max_size=64),
-    min_size=1, max_size=8,
-)
+# no operational input (URLs, shingles) can carry it.  Surrogates
+# (U+D800–DFFF) are excluded too: they are not encodable as UTF-8, so no
+# Spark string (UTF8String) or DuckDB VARCHAR can ever hold one — the
+# pybind bind layer rejects them outright.  Everything else — multibyte
+# UTF-8, astral plane, non-4-byte-aligned tails — is fair game.
+_chars = st.characters(blacklist_characters="\x00",
+                       blacklist_categories=("Cs",))
+_texts = st.lists(st.text(_chars, max_size=64), min_size=1, max_size=8)
 
 
 @settings(max_examples=40, deadline=None)
@@ -102,7 +104,7 @@ def test_sql_twins_fuzz(strings):
 
 
 @settings(max_examples=60, deadline=None)
-@given(st.text(st.characters(blacklist_characters="\x00"), max_size=64))
+@given(st.text(_chars, max_size=64))
 def test_portable_hash64_twin_fuzz(s):
     """The engine-portable md5-derived hash (analytics.portable_hash64 /
     __spark_entry__._phash_sql) has THREE legs: Spark conv(substr(md5)),
