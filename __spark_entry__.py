@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawlfront import analytics
-from crawlfront.fixtures import fixture_dir_for_sf, sf_of_dir
+from crawlfront.fixtures import fixture_dir_for_sf, generate_media_fixtures, sf_of_dir
 from crawlfront.frontier import (
     EngineConfig,
     fetch_and_extract,
@@ -809,8 +809,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": analytics.quality_score,
         "token_count": analytics.token_count,
         "doc_fingerprint": analytics.doc_fingerprint,
+        # media fixture (real PNG/GIF/JPEG headers, seed 43) — decoded
+        # dimensions are re-derived independently by the DuckDB twin's
+        # hex()-walk, so decode correctness is value-hash-checked
         "multimodal_meta": lambda spark, sf_dir: analytics.multimodal_meta(
-            spark, scan_pages(spark, _fx(sf_dir))
+            spark,
+            spark.read.parquet(str(generate_media_fixtures(sf_of_dir(sf_dir)))),
         ),
         "pipeline_clean_corpus": analytics.pipeline_clean_corpus,
         "bm25_topk": analytics.bm25_topk,
@@ -841,6 +845,16 @@ def oracle_sql() -> dict[str, str]:
     # reads it via glob; row order across files follows the part numbering
     pages = f"read_parquet('{_FX}/pages.parquet/*.parquet')"
     seeds = f"read_parquet('{_FX}/seeds.parquet')"
+    # media fixture must exist on disk before DuckDB parses the twin
+    generate_media_fixtures(sf_of_dir(_FX))
+
+    def _mbyte(i) -> str:
+        """1-indexed byte ``i`` of the hex(html) string ``h`` as a bigint
+        (try_cast → -1 past end-of-blob, so out-of-range probes compare
+        false instead of erroring; mirrors the engine's bounds checks)."""
+        return (
+            f"coalesce(try_cast('0x' || substr(h, ({i}) * 2 - 1, 2) AS BIGINT), -1)"
+        )
     robots = f"read_parquet('{_FX}/robots.parquet')"
     politeness = f"read_parquet('{_FX}/politeness.parquet')"
 
@@ -1525,14 +1539,56 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, pred_lang, quality, bpe_est_tokens,
                  (('0x' || substr(md5(md5(text)), 1, 15))::bigint % 8)::int AS shard
           FROM d2 WHERE rn = 1""",
+        # multimodal: the twin re-decodes PNG/GIF/JPEG dimensions from
+        # hex(html) — fixed-offset field reads for PNG IHDR / GIF LSD and
+        # a recursive-CTE marker walk for JPEG (SOF is at a VARIABLE
+        # offset behind APP0/COM segments; byte/offset math mirrors
+        # analytics.parse_media_dims exactly, 1-indexed where the engine
+        # is 0-indexed)
         "multimodal_meta": f"""
-          SELECT url, octet_length(html)::bigint AS n_bytes,
-                 substr(html::varchar, 1, 5) AS head,
-                 substr(html::varchar, 1, 5) = '<html' AS is_html,
-                 FALSE AS decoded,
-                 (octet_length(html) % 640)::int AS width,
-                 (octet_length(html) % 480)::int AS height
-          FROM {pages}""",
+          WITH RECURSIVE
+          hx AS (SELECT url, octet_length(html)::bigint AS n_bytes, hex(html) AS h
+                 FROM read_parquet('{_FX}/media.parquet')),
+          png AS (SELECT url, 'png' AS kind,
+                         ('0x' || substr(h, 33, 8))::bigint::int AS width,
+                         ('0x' || substr(h, 41, 8))::bigint::int AS height
+                  FROM hx
+                  WHERE n_bytes >= 24 AND substr(h, 1, 16) = '89504E470D0A1A0A'
+                    AND substr(h, 25, 8) = '49484452'),
+          gif AS (SELECT url, 'gif' AS kind,
+                         ({_mbyte(7)} + 256 * {_mbyte(8)})::int AS width,
+                         ({_mbyte(9)} + 256 * {_mbyte(10)})::int AS height
+                  FROM hx
+                  WHERE n_bytes >= 10
+                    AND substr(h, 1, 12) IN ('474946383761', '474946383961')),
+          jw AS (
+            SELECT url, h, n_bytes, 3::bigint AS pos, 0 AS it FROM hx
+            WHERE substr(h, 1, 4) = 'FFD8'
+            UNION ALL
+            SELECT url, h, n_bytes,
+                   pos + 2 + {_mbyte('pos + 2')} * 256 + {_mbyte('pos + 3')},
+                   it + 1
+            FROM jw
+            WHERE pos + 8 <= n_bytes AND it < 64 AND {_mbyte('pos')} = 255
+              AND {_mbyte('pos + 1')} NOT IN (192, 193, 194, 1, 216, 217)
+              AND NOT ({_mbyte('pos + 1')} BETWEEN 208 AND 215)),
+          jpg AS (SELECT url, 'jpeg' AS kind,
+                         ({_mbyte('pos + 7')} * 256 + {_mbyte('pos + 8')})::int AS width,
+                         ({_mbyte('pos + 5')} * 256 + {_mbyte('pos + 6')})::int AS height
+                  FROM jw
+                  WHERE pos + 8 <= n_bytes AND {_mbyte('pos')} = 255
+                    AND {_mbyte('pos + 1')} IN (192, 193, 194)),
+          d AS (SELECT * FROM png UNION ALL SELECT * FROM gif
+                UNION ALL SELECT * FROM jpg)
+          SELECT hx.url, hx.n_bytes,
+                 lower(substr(h, 1, 8)) AS head,
+                 substr(h, 1, 10) = '3C68746D6C' AS is_html,
+                 d.kind IS NOT NULL AS decoded,
+                 coalesce(d.kind, CASE WHEN substr(h, 1, 10) = '3C68746D6C'
+                                       THEN 'html' ELSE 'bin' END) AS kind,
+                 coalesce(d.width, (hx.n_bytes % 640))::int AS width,
+                 coalesce(d.height, (hx.n_bytes % 480))::int AS height
+          FROM hx LEFT JOIN d USING (url)""",
         # X1–X3 — Spark murmur3-32 / xxhash64 / partition keys, recomputed
         # bit-for-bit inside DuckDB (recursive-CTE reimplementation,
         # crawlfront/sqlhash.py, pinned by tests/test_sqlhash.py)

@@ -250,6 +250,89 @@ def generate_fixtures(sf: float, out_dir: str | Path, force: bool = False) -> Pa
     return out
 
 
+# --- multimodal media fixtures ----------------------------------------------
+# Real byte-level PNG / GIF / JPEG headers (stdlib struct/zlib only — no
+# image libs in this sandbox), so the multimodal_meta decode path parses
+# TRUE dimensions instead of fakes.  JPEGs carry a variable number of
+# variable-length APP0/COM segments before the SOF marker, so the
+# marker-walk is genuinely exercised (SOF is never at a fixed offset).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_blob(rng: np.random.Generator, w: int, h: int) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">I", 13) + b"IHDR" + struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    crc = struct.pack(">I", zlib.crc32(ihdr[4:]))
+    payload = rng.integers(0, 256, size=int(rng.integers(16, 128)), dtype=np.uint8).tobytes()
+    return _PNG_SIG + ihdr + crc + payload + b"\x00\x00\x00\x00IEND\xaeB`\x82"
+
+
+def _gif_blob(rng: np.random.Generator, w: int, h: int) -> bytes:
+    import struct
+
+    payload = rng.integers(0, 256, size=int(rng.integers(8, 64)), dtype=np.uint8).tobytes()
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00" + payload + b"\x3b"
+
+
+def _jpeg_blob(rng: np.random.Generator, w: int, h: int) -> bytes:
+    import struct
+
+    out = b"\xff\xd8"
+    jfif = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
+    for _ in range(int(rng.integers(0, 4))):  # 0–3 comment segments
+        com = rng.integers(0, 256, size=int(rng.integers(4, 64)), dtype=np.uint8).tobytes()
+        out += b"\xff\xfe" + struct.pack(">H", len(com) + 2) + com
+    sof_marker = (b"\xff\xc0", b"\xff\xc1", b"\xff\xc2")[int(rng.integers(0, 3))]
+    sof = struct.pack(">BHHB", 8, h, w, 3) + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
+    scan = rng.integers(0, 256, size=int(rng.integers(16, 128)), dtype=np.uint8).tobytes()
+    out += b"\xff\xda" + struct.pack(">H", 12) + b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+    return out + scan + b"\xff\xd9"
+
+
+def generate_media_fixtures(sf: float, out_dir: str | Path | None = None,
+                            force: bool = False) -> Path:
+    """Write ``media.parquet`` (url:string, html:binary) next to the crawl
+    fixtures: a deterministic mix of real-header PNG / GIF / JPEG blobs,
+    html-text rows, and signatureless junk rows (seed 43, independent of
+    the crawl fixtures' seed 42 — adding media never perturbs the
+    engine-vs-oracle crawl invariants).  Idempotent per (sf, path)."""
+    out = Path(out_dir) if out_dir is not None else fixture_dir_for_sf(sf)
+    out.mkdir(parents=True, exist_ok=True)
+    path = out / "media.parquet"
+    if path.exists() and not force:
+        return path
+    rng = np.random.default_rng(np.random.PCG64(43))
+    n = max(40, int(4000 * sf))
+    urls, blobs = [], []
+    for i in range(n):
+        urls.append(f"https://media{i % 97:03d}.example.org/asset/{i:06d}")
+        kind = i % 5
+        w = int(rng.integers(1, 4000))
+        h = int(rng.integers(1, 3000))
+        if kind == 0:
+            blobs.append(_png_blob(rng, w, h))
+        elif kind == 1:
+            blobs.append(_gif_blob(rng, w, h))
+        elif kind == 2:
+            blobs.append(_jpeg_blob(rng, w, h))
+        elif kind == 3:
+            blobs.append(f"<html><body>asset {i} landing page</body></html>".encode())
+        else:  # junk: no known signature, first byte NUL so nothing matches
+            junk = rng.integers(0, 256, size=int(rng.integers(8, 96)), dtype=np.uint8)
+            blobs.append(b"\x00BIN" + junk.tobytes())
+    t = pa.table({"url": pa.array(urls, pa.string()),
+                  "html": pa.array(blobs, pa.binary())})
+    tmp = path.with_suffix(".parquet.tmp")
+    pq.write_table(t, tmp, row_group_size=4096)
+    os.replace(tmp, path)
+    return path
+
+
 # Repo-stable fixture roots: queries()/oracle_sql() (driver contract) need a
 # path that is identical between the Spark side and the DuckDB SQL string.
 # CRAWLFRONT_FIXTURE_ROOT overrides for launch modes where the package is
