@@ -700,6 +700,141 @@ def bm25_topk(spark: SparkSession, sf_dir: str,
     )
 
 
+def _min_label_round(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """One min-label-propagation round: label'(v) = min(label(v),
+    min_{u~v} label(u)) over the symmetric edge list.  Shared by the
+    unrolled contract query (``dedup_clusters``) and the fixed-point
+    loop (``min_label_closure``) so the two can only differ in depth."""
+    nm = (
+        edges.join(
+            labels.select(F.col("doc_id").alias("b"), F.col("cluster_id").alias("nl")),
+            "b",
+        )
+        .groupBy("a")
+        .agg(F.min("nl").alias("nl"))
+    )
+    return labels.join(nm, labels.doc_id == nm.a, "left").select(
+        "doc_id",
+        F.least(F.col("cluster_id"), F.coalesce(F.col("nl"), F.col("cluster_id"))).alias(
+            "cluster_id"
+        ),
+    )
+
+
+def min_label_closure(labels: DataFrame, edges: DataFrame,
+                      max_rounds: int = 100) -> tuple[DataFrame, int]:
+    """Converge-until-stable transitive closure (VERDICT r2 item 4): the
+    engine-side fixed-point loop the unrolled 3-round ``dedup_clusters``
+    approximates.  Semi-naive min-label propagation:
+
+    - only labels that CHANGED last round are re-propagated (the delta
+      frontier joins the edges, not the full label table — at 10^10
+      docs almost all labels are stable after round 2, so per-round work
+      decays with the frontier, the Datalog semi-naive argument);
+    - stop when the changed-count hits 0 — exact for ANY diameter,
+      where the unrolled version is exact only to its depth;
+    - each round is plan-barriered (``localCheckpoint``) so lineage
+      doesn't grow with the iteration count (CLAUDE.md: Catalyst expands
+      shared subtrees per DAG path — an unbarriered 50-round loop is a
+      2^50 plan).
+
+    ``labels``: (doc_id, cluster_id) initial labels (id = own label);
+    ``edges``: symmetric (a, b) pair list.  Returns (labels, n_rounds).
+    Labels only ever decrease, and min is accumulation-order-free, so
+    the result equals union-find connected components exactly."""
+    cur = labels.localCheckpoint(eager=True)
+    changed = cur  # round 0: every node is its own frontier
+    rounds = 0
+    while rounds < max_rounds:
+        nm = (
+            edges.join(
+                changed.select(F.col("doc_id").alias("b"), F.col("cluster_id").alias("nl")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nl"))
+        )
+        delta = (
+            nm.join(cur, nm.a == cur.doc_id)
+            .filter(F.col("nl") < F.col("cluster_id"))
+            .select(F.col("a").alias("doc_id"), F.col("nl").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        if delta.count() == 0:
+            break
+        cur = (
+            cur.join(delta.withColumnRenamed("cluster_id", "new_cl"), "doc_id", "left")
+            .select("doc_id", F.coalesce("new_cl", "cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = delta
+    return cur, rounds
+
+
+def dedup_clusters_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point variant of ``dedup_clusters``: identical pair graph,
+    but looped to convergence instead of 3 unrolled rounds — exact at
+    any cluster diameter.  Engine-side only (a driver loop with actions
+    has no single-statement SQL twin); pinned by pytest against both
+    union-find and the unrolled contract query."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a", "b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    out, _ = min_label_closure(labels, edges)
+    return out.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_kept")
+    )
+
+
+def pagerank_fixed_point(nodes: DataFrame, edges_with_deg: DataFrame,
+                         max_iters: int = 100) -> tuple[DataFrame, int]:
+    """Converge-until-stable integer PageRank (VERDICT r2 item 4): same
+    integer micro-unit recurrence as the unrolled g1_host_pagerank twin
+    — r'(v) = 150000 + Σ_in (r(u)·85 div 100) div outdeg(u) — iterated
+    until NO rank changes.  Integer damping is a 1-norm contraction
+    (each round redistributes ≤85% of the previous round's total change,
+    floors only shrink it), so the changed-count hits 0 in O(log total
+    mass) rounds; with all-int64 order-free arithmetic the fixed point
+    is exact and deterministic.  Per-round localCheckpoint keeps the
+    plan flat.  ``nodes``: (host); ``edges_with_deg``: (src, dst,
+    outdeg).  Returns (ranks, n_iters)."""
+    ranks = nodes.select("host", F.lit(1000000).cast("long").alias("r")) \
+                 .localCheckpoint(eager=True)
+    iters = 0
+    while iters < max_iters:
+        contrib = (
+            edges_with_deg.join(ranks.withColumnRenamed("host", "src"), "src")
+            .select("dst", F.expr("((r * 85) div 100) div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        nxt = (
+            nodes.join(contrib, nodes.host == contrib.dst, "left")
+            .select(
+                "host",
+                (F.lit(150000) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        iters += 1
+        n_changed = (
+            nxt.alias("n")
+            .join(ranks.alias("p"), "host")
+            .filter(F.col("n.r") != F.col("p.r"))
+            .count()
+        )
+        ranks = nxt
+        if n_changed == 0:
+            break
+    return ranks, iters
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str, rounds: int = 3) -> DataFrame:
     """Near-duplicate CLUSTERS from the verified MinHash pair list — the
     step a real pipeline runs after pair generation: transitive closure
@@ -722,20 +857,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, rounds: int = 3) -> DataFra
         "doc_id", F.col("doc_id").alias("cluster_id")
     )
     for _ in range(rounds):
-        nm = (
-            edges.join(
-                labels.select(F.col("doc_id").alias("b"), F.col("cluster_id").alias("nl")),
-                "b",
-            )
-            .groupBy("a")
-            .agg(F.min("nl").alias("nl"))
-        )
-        labels = labels.join(nm, labels.doc_id == nm.a, "left").select(
-            "doc_id",
-            F.least(F.col("cluster_id"), F.coalesce(F.col("nl"), F.col("cluster_id"))).alias(
-                "cluster_id"
-            ),
-        )
+        labels = _min_label_round(labels, edges)
     return labels.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_kept")
     )

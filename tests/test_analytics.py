@@ -204,6 +204,71 @@ def test_dedup_clusters_closure(spark):
             assert kept == (d == canon)
 
 
+def test_min_label_closure_beats_unrolled_on_deep_chain(spark):
+    """Fixed-point loop (VERDICT r2 item 4): on a diameter-6 chain the
+    3-round unrolled propagation provably stops short, the semi-naive
+    converge-until-stable loop reaches the exact union-find components."""
+    # chain 10–16 (diameter 6), triangle 30-31-32, singleton 99
+    raw = [(10 + i, 11 + i) for i in range(6)] + [(30, 31), (31, 32), (30, 32)]
+    nodes = sorted({x for e in raw for x in e} | {99})
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in raw] + [(b, a) for a, b in raw], "a long, b long"
+    )
+    labels = spark.createDataFrame([(n, n) for n in nodes],
+                                   "doc_id long, cluster_id long")
+    out, rounds = analytics.min_label_closure(labels, edges)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    expect = {n: 10 for n in range(10, 17)} | {30: 30, 31: 30, 32: 30, 99: 99}
+    assert got == expect
+    assert rounds > 3  # the chain genuinely needs more than the unroll depth
+
+    # and the 3-round unrolled step (the contract-query shape) is WRONG here:
+    lab3 = labels
+    for _ in range(3):
+        lab3 = analytics._min_label_round(lab3, edges)
+    got3 = {r["doc_id"]: r["cluster_id"] for r in lab3.collect()}
+    assert got3[16] != 10  # tail of the chain not yet reached — why the loop exists
+
+
+def test_dedup_clusters_converged_matches_unrolled_at_sf001(spark):
+    """At sf0.01 cluster diameters are within the unroll depth, so the
+    fixed-point variant must agree with the contract query exactly."""
+    a = {(r["doc_id"], r["cluster_id"], r["is_kept"])
+         for r in analytics.dedup_clusters(spark, SF).collect()}
+    b = {(r["doc_id"], r["cluster_id"], r["is_kept"])
+         for r in analytics.dedup_clusters_converged(spark, SF).collect()}
+    assert a == b
+
+
+def test_pagerank_fixed_point_converges(spark):
+    """Integer PageRank fixed point: iterating the exact same integer
+    recurrence in pure Python reaches the same ranks, and one more Spark
+    round leaves every rank unchanged."""
+    raw = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    hosts = sorted({x for e in raw for x in e})
+    edges = spark.createDataFrame(raw, "src string, dst string")
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e2 = edges.join(deg, "src")
+    nodes = spark.createDataFrame([(h,) for h in hosts], "host string")
+    ranks, iters = analytics.pagerank_fixed_point(nodes, e2)
+    got = {r["host"]: r["r"] for r in ranks.collect()}
+
+    # pure-python twin of the integer recurrence, looped to ITS fixed point
+    outdeg = {}
+    for s, _ in raw:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {h: 1_000_000 for h in hosts}
+    for _ in range(200):
+        nxt = {h: 150_000 for h in hosts}
+        for s, d in raw:
+            nxt[d] += (r[s] * 85 // 100) // outdeg[s]
+        if nxt == r:
+            break
+        r = nxt
+    assert got == r
+    assert 1 < iters < 100
+
+
 def test_parse_media_dims_headers():
     """Real stdlib header decode (VERDICT r2 item 3): PNG IHDR, GIF LSD,
     JPEG SOF behind variable-length segments; adversarial bytes return
