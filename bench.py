@@ -72,11 +72,17 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_drain(spark, sf: float, n_batches: int, cfg=None, warmup: int = 1) -> dict:
+def run_drain(spark, sf: float, n_batches: int, cfg=None, warmup: int = 1,
+              pipelined: bool = False) -> dict:
     """Timed frontier drain: the first ``warmup`` batches are excluded
     (JIT + crawl ramp-up — early batches are seed-sized and overhead
     dominated), the following ``n_batches`` are timed individually.
-    Throughput comes from the counters table."""
+    Throughput comes from the counters table.
+
+    ``pipelined=True`` times the double-buffered drain
+    (CrawlEngine.run_pipelined): batch k+1's plan/map overlaps batch k's
+    sink flush, so only the whole-window wall is meaningful (per-batch
+    entries then carry rows, not wall)."""
     from crawlfront.fixtures import fixture_dir_for_sf
     from crawlfront.frontier import CrawlEngine, EngineConfig
 
@@ -97,6 +103,23 @@ def run_drain(spark, sf: float, n_batches: int, cfg=None, warmup: int = 1) -> di
         commit_bytes = 0
         per_batch = []
         t_all = time.monotonic()
+        if pipelined:
+            aggs = eng.run_pipelined(n_batches)
+            dt_all = time.monotonic() - t_all
+            for agg in aggs:
+                r = agg["scheduled"] + agg["fetched"]
+                rows += r
+                per_batch.append({"batch": agg["batch_id"], "rows": r})
+            commit_bytes = eng.last_timings.get("commit_bytes", 0) * len(aggs)
+            return {
+                "drain_batches": n_batches,
+                "drain_sec": round(dt_all, 3),
+                "drain_rows": rows,
+                "drain_urls_per_sec": round(rows / dt_all, 1) if dt_all > 0 else 0.0,
+                "drain_commit_mb": round(commit_bytes / 1e6, 2),
+                "pipelined": True,
+                "per_batch": per_batch,
+            }
         for _ in range(n_batches):
             t0 = time.monotonic()
             agg = eng.run_batch()

@@ -164,6 +164,36 @@ class EngineConfig:
     #: allocation or a co-tenant stage could use) and because it isolates
     #: the map phase as its own timing mark.
     eager_map: bool = True
+    #: Double-buffered drain (run_pipelined): batch k+1 plans and
+    #: materializes its map phase against batch k's IN-MEMORY next-state
+    #: views while batch k's five sinks flush in the background; manifest
+    #: commits stay strictly batch-ordered, so crash-resume semantics are
+    #: unchanged (an interrupted pipeline resumes from the last committed
+    #: manifest and deterministically reproduces the same batches —
+    #: pinned by test_pipelined).  Motivation: the measured drain profile
+    #: is ~45% sink wall that is core-count-invariant (single-disk +
+    #: task-scheduling floor, BENCH_r02 per-batch decomposition).
+    #: Measured A/B (interleaved fresh-JVM repeats, local[32]): at sf2 —
+    #: where the sinks are real I/O — pipelined wins 26.7/26.9 s vs
+    #: 29.3/34.9 s sequential (835 vs 763 urls/s best-of, ~1.1-1.2×); at
+    #: sf0.1 — where commits are 0.9 MB and the sinks are pure
+    #: scheduling/CPU overhead — it LOSES ~15% (both phases contend for
+    #: the same saturated cores: plan 3.7→7 s, sinks 3.8→7.9 s under
+    #: overlap).  Default OFF: flip it on when sink wall is genuine I/O
+    #: wait (big batches locally, object-store commits on a cluster),
+    #: keep it off for metadata-sized commits.
+    pipelined_drain: bool = False
+    #: Bucket-aligned frontier state (SURVEY §7.3(6) / VERDICT r2 item 6):
+    #: frontier snapshots AND deltas are written as url_norm-bucketed,
+    #: url_norm-sorted catalog tables (the plain-parquet stand-in for an
+    #: Iceberg bucket(url_norm) partition transform, mirroring
+    #: bucketed_pages_table).  The merge-on-read view then becomes a
+    #: chain of bucketed-scan anti-joins instead of union+window — NO
+    #: Exchange anywhere in the view (plan-asserted in test_plans): at
+    #: 10^10 rows the un-bucketed MOR merge re-shuffles base+deltas
+    #: (≈ the whole ~1 TB frontier) at every batch's first read, the one
+    #: per-batch full-table exchange left after round 2.
+    bucketed_state: bool = False
 
 
 # --- scans (S1-S4) ---------------------------------------------------------
@@ -494,6 +524,27 @@ def refresh_gates(pending: DataFrame, politeness: DataFrame, cfg: EngineConfig,
 # --- the engine ------------------------------------------------------------
 
 
+class _PlannedBatch:
+    """Everything ``CrawlEngine._plan_batch`` computed for one batch,
+    handed to ``_flush_batch`` — and, in pipelined mode, to the NEXT
+    batch's plan via the ``next_frontier``/``next_shards``/``seen_delta``
+    in-memory views (which contain, by construction, exactly the rows the
+    committed files will hold once this batch's flush lands)."""
+
+    def __init__(self, b: int, base_idx: int, man: dict):
+        self.b = b
+        self.base_idx = base_idx
+        self.man = man
+        self.timings: dict = {}
+        self._n_scheduled: int | None = None
+        # populated by _plan_batch:
+        #   pool, fut_results, cobs, timed, mark, n_scheduled, next_manifest,
+        #   write_frontier/write_shards/write_seen/write_counters,
+        #   frontier_base, f_deltas, f_compact, url_seen_base, u_deltas,
+        #   u_compact, scheduled, ex, cached, persisted,
+        #   next_frontier, next_shards, seen_delta
+
+
 class CrawlEngine:
     """Checkpointed multi-batch crawl loop (T1/T2).
 
@@ -617,9 +668,89 @@ class CrawlEngine:
             .drop("_v", "_rn")
         )
 
+    # --- bucket-aligned frontier state (cfg.bucketed_state) -------------
+    def _bucket_table_name(self, table: str, kind: str, batch_id: int) -> str:
+        import hashlib
+
+        tag = hashlib.md5(str(self.ckpt.root.resolve()).encode()).hexdigest()[:10]
+        return f"cf_{tag}_{table}_{kind}_{batch_id}"
+
+    def _write_bucketed(self, df: DataFrame, table: str, kind: str,
+                        batch_id: int) -> None:
+        """Write a snapshot/delta as a url_norm-bucketed, url_norm-sorted
+        catalog table at the SAME checkpoint path the plain writer uses
+        (the manifest layout is unchanged; only the file organization and
+        the catalog bucket spec differ).  Repartitioned on url_norm first
+        so each task owns one bucket — one file per bucket, not
+        tasks × buckets small files."""
+        import shutil as _sh
+
+        path = (self.ckpt.snapshot_dir if kind == "snap"
+                else self.ckpt.delta_dir)(table, batch_id)
+        name = self._bucket_table_name(table, kind, batch_id)
+        if self.spark.catalog.tableExists(name):
+            self.spark.sql(f"DROP TABLE {name}")
+        _sh.rmtree(path, ignore_errors=True)  # overwrite semantics on retry
+        (
+            df.repartition(self.cfg.n_partitions, F.col("url_norm"))
+            .write.bucketBy(self.cfg.n_partitions, "url_norm")
+            .sortBy("url_norm")
+            .option("path", path)
+            .saveAsTable(name)
+        )
+
+    def _read_bucketed(self, table: str, kind: str, batch_id: int) -> DataFrame:
+        """Catalog-scan of a bucketed snapshot/delta — registering the
+        external table first when this session didn't write it (resume in
+        a fresh session): bucket metadata lives in the catalog, so a
+        plain parquet read would lose the exchange-free property."""
+        name = self._bucket_table_name(table, kind, batch_id)
+        if not self.spark.catalog.tableExists(name):
+            path = (self.ckpt.snapshot_dir if kind == "snap"
+                    else self.ckpt.delta_dir)(table, batch_id)
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in FRONTIER_SCHEMA.fields
+            )
+            self.spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING PARQUET "
+                f"CLUSTERED BY (url_norm) SORTED BY (url_norm) "
+                f"INTO {self.cfg.n_partitions} BUCKETS LOCATION '{path}'"
+            )
+        return self.spark.table(name)
+
+    def _merge_mor_bucketed(self, man: dict, deltas: list[int]) -> DataFrame:
+        """Exchange-free merge-on-read over bucketed state: newest-wins =
+        ⊎_i (piece_i ANTI piece_{i+1} ANTI … ANTI piece_N), newest piece
+        unfiltered.  Every anti-join is bucketed-scan vs bucketed-scan on
+        the bucket key, and LeftAnti preserves the left side's
+        partitioning, so the whole view plans with ZERO Exchange
+        (asserted in test_plans) — where union+window re-shuffles
+        base+deltas every read.  A full-outer-join fold would NOT work:
+        FullOuter SMJ reports UnknownPartitioning, re-introducing an
+        exchange from the second join on.  Join count is O(d²/2) with
+        d ≤ compact_every deltas, each right side batch-sized."""
+        pieces = [self._read_bucketed("frontier", "snap",
+                                      self._base_id(man, "frontier"))]
+        pieces += [self._read_bucketed("frontier", "delta", db) for db in deltas]
+        legs = []
+        for i, piece in enumerate(pieces):
+            leg = piece
+            for newer in pieces[i + 1:]:
+                leg = leg.join(newer.select("url_norm"), "url_norm", "left_anti")
+            legs.append(leg)
+        from functools import reduce
+
+        # the USING-column join fronts url_norm — restore schema order
+        return reduce(DataFrame.unionByName, legs).select(*FRONTIER_COLS)
+
     def frontier(self) -> DataFrame:
         man = self.ckpt.manifest() or {}
         deltas = man.get("frontier_deltas", [])
+        if self.cfg.bucketed_state:
+            if not deltas:
+                return self._read_bucketed("frontier", "snap",
+                                           self._base_id(man, "frontier"))
+            return self._merge_mor_bucketed(man, deltas)
         if not deltas:
             return self._read("frontier", FRONTIER_SCHEMA)
         return self._merge_mor("frontier", FRONTIER_SCHEMA, deltas, key="url_norm")
@@ -630,7 +761,9 @@ class CrawlEngine:
         append is directory-partitioned by ``kb`` so the J4 confirm leg
         prunes the scan to candidate buckets (confirm_unseen)."""
         man = self.ckpt.manifest() or {}
-        batches = man.get("seen_batches", [])
+        return self._seen_union(man.get("seen_batches", []))
+
+    def _seen_union(self, batches: list[int]) -> DataFrame:
         if not batches:
             return self.spark.createDataFrame([], SEEN_KEYS_SCHEMA)
         # one scan per committed append dir, unioned — uncommitted
@@ -690,7 +823,12 @@ class CrawlEngine:
         cfg = self.cfg
         seeds = scan_seeds(self.spark, self.fixture_dir)
         f0 = frontier_from_seeds(seeds, cfg)
-        self._write_snapshot(f0, "frontier", 0, partition_key("host_hash", "salt", cfg.n_partitions))
+        if cfg.bucketed_state:
+            self._write_bucketed(f0, "frontier", "snap", 0)
+        else:
+            self._write_snapshot(
+                f0, "frontier", 0, partition_key("host_hash", "salt", cfg.n_partitions)
+            )
         f0c = self.spark.read.schema(FRONTIER_SCHEMA).parquet(self.ckpt.snapshot_dir("frontier", 0))
         self._write_seen_append(f0c, 0)
         shards0 = self._filter_update(
@@ -704,17 +842,24 @@ class CrawlEngine:
             append_batch=False,
         )
 
-    # --- one micro-batch ---
-    def run_batch(self, extra_manifest: dict | None = None) -> dict:
+    # --- one micro-batch -------------------------------------------------
+    #
+    # run_batch is split into PLAN (build every frame, materialize the map
+    # phase, kick off the early results write) and FLUSH (write the
+    # remaining sinks, commit the manifest, read the metrics back).  The
+    # sequential path runs plan→flush back-to-back — the same jobs in the
+    # same order as the pre-split implementation; the pipelined drain
+    # (run_pipelined) overlaps batch k's FLUSH with batch k+1's PLAN.
+
+    def _plan_batch(self, man: dict, live: _PlannedBatch | None = None) -> _PlannedBatch:
         import time as _time
 
         cfg = self.cfg
-        man = self.ckpt.manifest()
-        assert man is not None, "call init() first"
         b = man["batch_id"] + 1
         base_idx = man["next_idx"]
         pk = partition_key("host_hash", "salt", cfg.n_partitions)
-        timings: dict[str, float] = {}
+        p = _PlannedBatch(b=b, base_idx=base_idx, man=man)
+        timings = p.timings
         _t0 = _time.monotonic()
 
         def _mark(phase: str) -> None:
@@ -723,11 +868,11 @@ class CrawlEngine:
             timings[phase] = round(now - _t0, 3)
             _t0 = now
 
-        # persisted ONLY in delta mode, where frontier() and shards()
-        # are merge-on-read views — the branches below (pending/rest,
-        # probe, shard update) must not re-run the merge.  In snapshot
-        # mode they are plain parquet scans: re-scanning is cheaper than
-        # caching.
+        # persisted ONLY in delta/pipelined mode, where frontier() and
+        # shards() are merge-on-read views or in-memory unions — the
+        # branches below (pending/rest, probe, shard update) must not
+        # re-run the merge.  In snapshot mode they are plain parquet
+        # scans: re-scanning is cheaper than caching.
         def _bar(df: DataFrame) -> DataFrame:
             """Materialize-once barrier (cfg.plan_barrier).  localckpt
             additionally truncates logical lineage, so downstream sink
@@ -738,15 +883,35 @@ class CrawlEngine:
                 return df.localCheckpoint(eager=False)
             return df.persist()
 
-        frontier = self.frontier()
-        shards = self.shards()
-        cached: list[DataFrame] = []
-        if man.get("frontier_deltas"):
-            frontier = _bar(frontier)
-            cached.append(frontier)
-        if man.get("url_seen_deltas"):
-            shards = _bar(shards)
-            cached.append(shards)
+        if live is not None:
+            # pipelined mode: bind to the PREVIOUS batch's in-memory
+            # next-state views instead of its (possibly still-flushing)
+            # committed files.  The views hold exactly the rows the commit
+            # will publish — same frames feed both — so this plan sees the
+            # state a resume would read from disk.  The barriers both cut
+            # lineage (the chain of batches must not accrete into one
+            # plan) and pin the frames the previous batch persisted.
+            frontier = _bar(live.next_frontier)
+            shards = _bar(live.next_shards)
+            # the seen view unions COMMITTED appends (batches ≤ k-1, all
+            # durable: flush(k-1) finished before this plan started) with
+            # the previous batch's in-memory key delta — never a recursive
+            # chain of views, which would pin every ancestor's frames
+            seen = self._seen_union(live.man.get("seen_batches", [])).unionByName(
+                live.seen_delta
+            )
+            cached = [frontier, shards]
+        else:
+            frontier = self.frontier()
+            shards = self.shards()
+            seen = self.seen_keys()
+            cached = []
+            if man.get("frontier_deltas"):
+                frontier = _bar(frontier)
+                cached.append(frontier)
+            if man.get("url_seen_deltas"):
+                shards = _bar(shards)
+                cached.append(shards)
         pending = frontier.filter(F.col("state") == PENDING)
         rest = frontier.filter(F.col("state") != PENDING)
         robots = scan_robots(self.spark, self.fixture_dir)
@@ -755,7 +920,7 @@ class CrawlEngine:
         # The gate outputs are re-read by the frontier transition, the
         # counters, and the discovery legs — persist them once instead of
         # re-running the scan→join→window→top-k pipeline per action.
-        # S7: n_scheduled is counted AFTER the sinks from scheduled's
+        # S7: n_scheduled is counted lazily (memoized) from scheduled's
         # already-materialized barrier blocks (an O(partitions) cache
         # scan, no recompute) — which frees scheduled to be lineage-
         # barriered (an Observation here would never fire: localCheckpoint
@@ -819,7 +984,10 @@ class CrawlEngine:
         # materializes scheduled/ex for everyone — is pure cluster work
         # that overlaps it fully.  The pool is tracked on self so that a
         # batch that fails mid-discovery cannot leave this write racing
-        # a later retry of the same (uncommitted) batch directory.
+        # a later retry of the same (uncommitted) batch directory; the
+        # pipelined loop nulls the tracker right after each plan (the
+        # in-flight flush owns its pool, and batch dirs never collide
+        # across batch ids).
         if self._sink_pool is not None:  # leftover from a failed batch
             self._sink_pool.shutdown(wait=True)
         pool = self._sink_pool = ThreadPoolExecutor(max_workers=5)
@@ -848,7 +1016,7 @@ class CrawlEngine:
         else:
             kbs = []
         confirmed_new_norms = confirm_unseen(
-            self.seen_keys(), maybe, kbs, bounded=not cfg.unbounded_drain
+            seen, maybe, kbs, bounded=not cfg.unbounded_drain
         )
         # persisted: read twice (new_rows semi-join + deduped counter) and
         # its lineage crosses the bloom-probe cogroup UDF — recompute is
@@ -858,7 +1026,7 @@ class CrawlEngine:
         new_rows = cand.join(new_norms, "url_norm", "left_semi").select(*FRONTIER_COLS).persist()
         _mark("discover_dedup")
 
-        # --- independent sinks, written CONCURRENTLY -------------------
+        # --- independent sinks, prepared here, written by _flush_batch --
         # frontier / seen_keys / bloom shards / counters have no
         # inter-dependency (all derive from the persisted frames above),
         # so each runs as its own Spark job from a thread.  Sequentially
@@ -898,22 +1066,29 @@ class CrawlEngine:
         f_deltas = man.get("frontier_deltas", [])
         f_compact = (cfg.frontier_commit == "snapshot"
                      or len(f_deltas) + 1 >= cfg.compact_every)
+        unscheduled = (
+            allowed.join(scheduled.select("url_norm"), "url_norm", "left_anti")
+            .select(*FRONTIER_COLS)
+        )
+        # the full next frontier — written on compaction, and the
+        # pipelined live view either way.  rest ⊎ unscheduled ⊎ delta is
+        # an exact partition of the next state (pending = blocked ⊎
+        # allowed; allowed = scheduled ⊎ unscheduled; new rows are
+        # confirmed-unseen), so it equals the MOR merge row-for-row.
+        next_frontier = (
+            rest.select(*FRONTIER_COLS)
+            .unionByName(unscheduled)
+            .unionByName(frontier_delta)
+        )
 
-        def write_frontier() -> tuple[int, list[int]]:
-            if f_compact:
-                unscheduled = (
-                    allowed.join(scheduled.select("url_norm"), "url_norm", "left_anti")
-                    .select(*FRONTIER_COLS)
-                )
-                new_frontier = (
-                    rest.select(*FRONTIER_COLS)
-                    .unionByName(unscheduled)
-                    .unionByName(frontier_delta)
-                )
-                self._write_snapshot(new_frontier, "frontier", b, pk)
-                return b, []
-            self._write_delta(frontier_delta, "frontier", b, pk)
-            return self._base_id(man, "frontier"), f_deltas + [b]
+        def write_frontier() -> None:
+            if cfg.bucketed_state:
+                self._write_bucketed(next_frontier if f_compact else frontier_delta,
+                                     "frontier", "snap" if f_compact else "delta", b)
+            elif f_compact:
+                self._write_snapshot(next_frontier, "frontier", b, pk)
+            else:
+                self._write_delta(frontier_delta, "frontier", b, pk)
 
         # seen_keys (append-only: O(new) write, kb-partitioned) + bloom
         # shards (delta mode: only TOUCHED shards are rewritten — a full
@@ -923,19 +1098,31 @@ class CrawlEngine:
         u_deltas = man.get("url_seen_deltas", [])
         u_compact = (cfg.frontier_commit == "snapshot"
                      or len(u_deltas) + 1 >= cfg.compact_every)
+        # the shard update is computed ONCE for both the sink and the
+        # pipelined live view: cogroup only the touched shards (a few
+        # bitsets, not the table) and splice the untouched rows around
+        # them.  update_shards leaves keyless shards byte-identical, so
+        # untouched ∪ updated(touched) == updated(all) row-for-row — the
+        # compact write keeps identical content in a cheaper plan.
+        touched = new_keys.select(
+            self._filter_shard_col(F.col("url_hash32")).alias("shard")
+        ).distinct()
+        delta_shards = self._filter_update(
+            shards.join(touched, "shard", "left_semi"), new_keys, batch_id=b
+        ).persist()
+        next_shards = shards.join(touched, "shard", "left_anti").unionByName(delta_shards)
 
-        def write_shards() -> tuple[int, list[int]]:
+        def write_shards() -> None:
             if u_compact:
-                shards2 = self._filter_update(shards, new_keys, batch_id=b)
-                self._write_snapshot(shards2, "url_seen", b)
-                return b, []
-            touched = new_keys.select(
-                self._filter_shard_col(F.col("url_hash32")).alias("shard")
-            ).distinct()
-            old_touched = shards.join(touched, "shard", "left_semi")
-            delta_shards = self._filter_update(old_touched, new_keys, batch_id=b)
-            self._write_delta(delta_shards, "url_seen", b)
-            return self._base_id(man, "url_seen"), u_deltas + [b]
+                self._write_snapshot(next_shards, "url_seen", b)
+            else:
+                self._write_delta(delta_shards, "url_seen", b)
+
+        p.f_compact, p.u_compact = f_compact, u_compact
+        p.frontier_base = b if f_compact else self._base_id(man, "frontier")
+        p.f_deltas = [] if f_compact else f_deltas + [b]
+        p.url_seen_base = b if u_compact else self._base_id(man, "url_seen")
+        p.u_deltas = [] if u_compact else u_deltas + [b]
 
         # per-partition counters + lineage (A2/S6) — grouped by the
         # LOGICAL partition key, so counters are parallelism-invariant.
@@ -995,69 +1182,185 @@ class CrawlEngine:
             ],
         )
 
+        def write_counters() -> None:
+            counters.write.mode("overwrite").parquet(self.ckpt.append_dir("counters", b))
+
+        def n_scheduled() -> int:
+            # cache-scan count over scheduled's materialized barrier blocks
+            if p._n_scheduled is None:
+                p._n_scheduled = scheduled.count()
+            return p._n_scheduled
+
+        def next_manifest() -> dict:
+            """The manifest _flush_batch will commit — available at plan
+            time so the pipelined loop can plan the NEXT batch before this
+            one's flush lands."""
+            return {
+                "batch_id": b,
+                "next_idx": base_idx + n_scheduled(),
+                "tables": {"frontier": f"frontier/snap-{p.frontier_base}",
+                           "url_seen": f"url_seen/snap-{p.url_seen_base}"},
+                "seen_batches": man.get("seen_batches", []) + [b],
+                "frontier_deltas": p.f_deltas,
+                "url_seen_deltas": p.u_deltas,
+            }
+
+        # next-state views for the pipelined drain: exactly what
+        # frontier()/shards()/seen_keys() will return once this batch's
+        # manifest commits
+        p.next_frontier = next_frontier
+        p.next_shards = next_shards
+        p.seen_delta = new_rows.select(
+            "url_norm", "url_hash64",
+            seen_bucket("url_hash64", cfg.n_seen_buckets).alias("kb"),
+        )
+
+        p.pool, p.fut_results, p.cobs = pool, fut_results, cobs
+        p.timed, p.mark = _timed, _mark
+        p.n_scheduled, p.next_manifest = n_scheduled, next_manifest
+        p.write_frontier, p.write_shards = write_frontier, write_shards
+        p.write_seen = lambda: self._write_seen_append(new_rows, b)
+        p.write_counters = write_counters
+        p.scheduled, p.ex, p.cached = scheduled, ex, cached
+        p.persisted = [cand, probed, new_rows, new_norms, blocked, allowed,
+                       eligible, delta_shards]
+        return p
+
+    def _flush_batch(self, p: _PlannedBatch, extra_manifest: dict | None = None,
+                     release: bool = True) -> dict:
+        """Write the four remaining sinks concurrently, harvest the early
+        results write, commit the manifest (data first, pointer last), and
+        read the Observation metrics back.  ``release=False`` defers frame
+        cleanup to the pipelined loop (the NEXT batch's lazy legs still
+        reference this batch's persisted frames)."""
+        b, man, pool = p.b, p.man, p.pool
         try:
-            fut_frontier = pool.submit(_timed, write_frontier)
-            fut_seen = pool.submit(_timed, self._write_seen_append, new_rows, b)
-            fut_shards = pool.submit(_timed, write_shards)
-            fut_counters = pool.submit(
-                _timed,
-                lambda: counters.write.mode("overwrite")
-                .parquet(self.ckpt.append_dir("counters", b)),
-            )
-            (frontier_base, f_deltas), t_f = fut_frontier.result()
-            (url_seen_base, u_deltas), t_sh = fut_shards.result()
-            _, t_re = fut_results.result()
+            fut_frontier = pool.submit(p.timed, p.write_frontier)
+            fut_seen = pool.submit(p.timed, p.write_seen)
+            fut_shards = pool.submit(p.timed, p.write_shards)
+            fut_counters = pool.submit(p.timed, p.write_counters)
+            _, t_f = fut_frontier.result()
+            _, t_sh = fut_shards.result()
+            _, t_re = p.fut_results.result()
             _, t_se = fut_seen.result()
             _, t_c = fut_counters.result()
         finally:
             pool.shutdown(wait=True)
-            self._sink_pool = None
-        timings["sink_each"] = {"results": t_re, "frontier": t_f,
-                                "shards": t_sh, "seen": t_se, "counters": t_c}
-        _mark("sinks_parallel")
+            if self._sink_pool is pool:
+                self._sink_pool = None
+        p.timings["sink_each"] = {"results": t_re, "frontier": t_f,
+                                  "shards": t_sh, "seen": t_se, "counters": t_c}
+        p.mark("sinks_parallel")
 
-        # cache-scan count over scheduled's materialized barrier blocks
-        n_scheduled = scheduled.count()
+        n_scheduled = p.n_scheduled()
 
         self.ckpt.commit(
             b,
-            {"frontier": frontier_base, "url_seen": url_seen_base},
-            extra={"next_idx": base_idx + n_scheduled,
+            {"frontier": p.frontier_base, "url_seen": p.url_seen_base},
+            extra={"next_idx": p.base_idx + n_scheduled,
                    "seen_batches": man.get("seen_batches", []) + [b],
-                   "frontier_deltas": f_deltas, "url_seen_deltas": u_deltas,
+                   "frontier_deltas": p.f_deltas, "url_seen_deltas": p.u_deltas,
                    **(extra_manifest or {})},
         )
+        if release:
+            self._release(p)
         # batch summary from the counters-write Observation — measured in
         # passing, not a re-read of every committed batch dir
-        for df in (cand, probed, new_rows, new_norms, blocked, allowed,
-                   eligible):
-            df.unpersist()
-        for df in (ex, scheduled, *cached):  # the _bar frames
-            _unpersist_barrier(df)
-        agg = {k: (v or 0) for k, v in cobs.get.items()}
+        agg = {k: (v or 0) for k, v in p.cobs.get.items()}
         agg["batch_id"] = b
         agg["scheduled"] = n_scheduled
-        _mark("commit_readback")
+        p.mark("commit_readback")
         # bytes this batch actually committed to storage (the incremental-
         # commit success metric: must track batch size, not table size)
         written = [
-            self.ckpt.snapshot_dir("frontier", b) if f_compact
+            self.ckpt.snapshot_dir("frontier", b) if p.f_compact
             else self.ckpt.delta_dir("frontier", b),
-            self.ckpt.snapshot_dir("url_seen", b) if u_compact
+            self.ckpt.snapshot_dir("url_seen", b) if p.u_compact
             else self.ckpt.delta_dir("url_seen", b),
             self.ckpt.append_dir("seen_keys", b),
             self.ckpt.append_dir("results", b),
             self.ckpt.append_dir("counters", b),
         ]
-        timings["commit_bytes"] = sum(
+        p.timings["commit_bytes"] = sum(
             f.stat().st_size
             for d in written
             for f in Path(d).rglob("*")
             if f.is_file()
         )
-        self.last_timings = timings
+        self.last_timings = p.timings
         return agg
+
+    def _release(self, p: _PlannedBatch) -> None:
+        """Free a planned batch's persisted/barriered frames (idempotent:
+        unpersisting an unpersisted frame is a no-op)."""
+        for df in p.persisted:
+            df.unpersist()
+        for df in (p.ex, p.scheduled, *p.cached):  # the _bar frames
+            _unpersist_barrier(df)
+
+    def run_batch(self, extra_manifest: dict | None = None) -> dict:
+        man = self.ckpt.manifest()
+        assert man is not None, "call init() first"
+        return self._flush_batch(self._plan_batch(man), extra_manifest)
+
+    def run_pipelined(self, n_batches: int) -> list[dict]:
+        """T1 double-buffered drain: overlap batch k's sink flush with
+        batch k+1's plan/map phase (EngineConfig.pipelined_drain).
+
+        Batch k+1 plans against batch k's in-memory next-state views
+        (next_frontier/next_shards/seen_delta) — definitionally the rows
+        batch k's commit publishes — while batch k's sinks flush on a
+        background thread.  Invariants preserved:
+
+        - STRICT COMMIT ORDER: flush(k).result() is awaited before
+          flush(k+1) is submitted, so manifest k is durable before
+          manifest k+1 is written — a crash anywhere leaves the newest
+          committed manifest as a consistent resume point, and resume
+          deterministically reproduces the interrupted batches
+          (test_pipelined crash test).
+        - FRAME LIFETIME: batch k's persisted frames are referenced by
+          batch k+1's lazy discovery/sink legs until flush(k+1)
+          completes, so releases run exactly one flush behind (the
+          ``held`` window is ≤ 2 batches + the one being planned).
+        - EXACT EQUIVALENCE: every batch is the same deterministic
+          function of the same state rows; only the storage the plan
+          binds to differs (in-memory frames vs committed files) —
+          pinned row-for-row against the sequential engine by
+          test_pipelined.
+        """
+        self.init()
+        aggs: list[dict] = []
+        flusher = ThreadPoolExecutor(max_workers=1)
+        held: list[_PlannedBatch] = []  # frames still pinned, oldest first
+        fut = None
+        man = self.ckpt.manifest()
+        try:
+            for _ in range(n_batches):
+                prev = held[-1] if held else None
+                p = self._plan_batch(man, live=prev)
+                # the in-flight flush owns its pool; keep the failed-batch
+                # fence from shutting it down mid-flight
+                self._sink_pool = None
+                held.append(p)
+                man = p.next_manifest()  # counts scheduled (cache scan)
+                if fut is not None:
+                    aggs.append(fut.result())  # strict commit order
+                    while len(held) > 2:
+                        # flush(k) done ⇒ nothing references k-1 any more
+                        self._release(held.pop(0))
+                fut = flusher.submit(self._flush_batch, p, None, False)
+            if fut is not None:
+                aggs.append(fut.result())
+        finally:
+            flusher.shutdown(wait=True)
+            while held:  # normal exit and failure paths both sweep here
+                q = held.pop(0)
+                q.pool.shutdown(wait=True)
+                self._release(q)
+        return aggs
 
     def run(self, n_batches: int) -> list[dict]:
         self.init()
+        if self.cfg.pipelined_drain:
+            return self.run_pipelined(n_batches)
         return [self.run_batch() for _ in range(n_batches)]

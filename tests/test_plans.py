@@ -137,6 +137,58 @@ def test_confirm_leg_never_shuffles_seen_history(spark, fixture_dir, tmp_path):
     assert m, p[:2000]
 
 
+def test_bucketed_state_mor_merge_exchange_free(spark, fixture_dir, tmp_path):
+    """VERDICT r2 item 6: with bucketed_state the frontier MOR view is a
+    chain of bucketed-scan anti-joins — NO Exchange anywhere (the
+    un-bucketed union+window merge re-shuffles base+deltas on every
+    read, the last per-batch full-table exchange).  Rows must equal the
+    default engine's view exactly."""
+    from crawlfront.frontier import CrawlEngine
+
+    cfg_b = EngineConfig(bucketed_state=True)
+    eb = CrawlEngine(spark, fixture_dir, tmp_path / "bkt", cfg_b)
+    eb.run(3)  # delta mode: batches 1-3 are deltas over the base snapshot
+    assert eb.ckpt.manifest()["frontier_deltas"] == [1, 2, 3]
+    view = eb.frontier()
+    # default plan: AQE broadcasts the (batch-sized) deltas — the base
+    # side still reaches every anti-join without ANY shuffle or sort
+    p = plan_of(view)
+    assert "Exchange hashpartitioning" not in p, p[:3000]
+    assert "Window" not in p
+    # the 10^10 path: deltas too big to broadcast → bucket-aligned SMJ,
+    # ZERO exchange of any kind anywhere in the view
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p2 = plan_of(eb.frontier())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Exchange" not in p2, p2[:3000]
+    assert "SortMergeJoin LeftAnti" in p2
+    assert "Bucketed: true" in p2
+    assert "Window" not in p2
+
+    ed = CrawlEngine(spark, fixture_dir, tmp_path / "dft")
+    ed.run(3)
+    assert sorted(map(tuple, view.collect())) == sorted(
+        map(tuple, ed.frontier().collect())
+    )
+
+    # resume in a FRESH engine with the catalog entries gone (new-session
+    # path): tables re-register from CREATE TABLE … CLUSTERED BY, and the
+    # view still plans shuffle-free
+    spark.sql(f"DROP TABLE {eb._bucket_table_name('frontier', 'snap', 0)}")
+    for db in (1, 2, 3):
+        spark.sql(f"DROP TABLE {eb._bucket_table_name('frontier', 'delta', db)}")
+    eb2 = CrawlEngine(spark, fixture_dir, tmp_path / "bkt", cfg_b)
+    assert "Exchange hashpartitioning" not in plan_of(eb2.frontier())
+    eb2.run_batch()
+    ed.run_batch()
+    assert sorted(map(tuple, eb2.frontier().collect())) == sorted(
+        map(tuple, ed.frontier().collect())
+    )
+
+
 def test_schedule_windows_are_codegen_adjacent(spark, fixture_dir):
     """The rank pipeline stays JVM-side: no Python eval anywhere in the
     gate→schedule plan (the only Arrow stages in a batch are
