@@ -1437,11 +1437,19 @@ def oracle_sql() -> dict[str, str]:
                  WHERE prk <= 12),
           cand AS (SELECT DISTINCT pr.query_id, asn.vec_id
                    FROM pr JOIN asn USING (cent_id) WHERE asn.vec_id != pr.query_id),
-          scored AS (SELECT cand.query_id, cand.vec_id AS neighbor_id,
-                       round(list_dot_product(q.qe, e.emb) /
-                             (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos
+          coarse AS (SELECT cand.query_id, cand.vec_id,
+                       round(list_dot_product(q.qe[1:48], e.emb[1:48]) /
+                             (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb))), 9) AS cs
                      FROM cand JOIN q ON cand.query_id = q.query_id
                      JOIN e ON cand.vec_id = e.vec_id),
+          kept AS (SELECT query_id, vec_id FROM (
+                     SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS crk
+                     FROM coarse) WHERE crk <= 192),
+          scored AS (SELECT kept.query_id, kept.vec_id AS neighbor_id,
+                       round(list_dot_product(q.qe, e.emb) /
+                             (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos
+                     FROM kept JOIN q ON kept.query_id = q.query_id
+                     JOIN e ON kept.vec_id = e.vec_id),
           ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)::int AS rk
                      FROM scored)
           SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5""",
