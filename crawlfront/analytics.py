@@ -900,6 +900,91 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, rounds: int = 3) -> DataFra
     )
 
 
+def paragraph_dedup(spark: SparkSession, sf_dir: str,
+                    chunk_tokens: int = 10) -> DataFrame:
+    """CCNet-style chunk-level exact dedup across the corpus: split each
+    document into fixed ``chunk_tokens``-token chunks (the synthetic
+    corpus has no newlines, so token windows stand in for paragraphs),
+    hash each chunk, and keep a chunk only for its FIRST (doc_id, pos)
+    occurrence corpus-wide — boilerplate that repeats across pages is
+    dropped from every copy but one.  Per doc: chunk counts, dup ratio,
+    and the md5 of the re-assembled deduped text.
+
+    Scale shape: one explode + one hash-groupBy (map-side combinable
+    min) + one join back — the same O(corpus) inverted-index pattern as
+    dedup_exact, never quadratic; chunks shuffle as (md5, ids), not
+    text.  Kept-text order is restored by array_sort over collected
+    (pos, chunk) structs — collect_list alone is NOT order-stable."""
+    docs = _read(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    nch = F.ceil(F.size("toks") / F.lit(chunk_tokens)).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(nch, F.lit(1))),
+                lambda j: F.concat_ws(
+                    " ", F.slice("toks", (j - 1) * chunk_tokens + 1, chunk_tokens)
+                ),
+            )
+        ).alias("pos", "chunk"),
+    ).withColumn("h", F.md5("chunk"))
+    first = chunks.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("m")
+    )
+    flagged = chunks.join(first, "h").select(
+        "doc_id", "pos", "chunk",
+        (~((F.col("doc_id") == F.col("m.doc_id"))
+           & (F.col("pos") == F.col("m.pos")))).alias("is_dup"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_chunks"),
+        F.sum(F.col("is_dup").cast("int")).cast("int").alias("n_dup_chunks"),
+        F.round(F.sum(F.col("is_dup").cast("int")) / F.count("*"), 4).alias("dup_ratio"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("is_dup"), F.struct("pos", "chunk"))
+                        )
+                    ),
+                    lambda t: t["chunk"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+
+
+def pii_scrub(spark: SparkSession, pages: DataFrame) -> DataFrame:
+    """PII / markup scrubbing pass over raw page bytes: count email-,
+    phone- and URL-shaped spans and hash the scrubbed text — the
+    pre-training redaction step every corpus pipeline runs.  Pure
+    codegen (regexp_count / regexp_replace on the decoded html), one
+    scan, shuffle-free — embarrassingly parallel at 100 TB.  Patterns
+    stay in the regex subset Java and RE2 (DuckDB) agree on, so the
+    twin is value-exact; on the synthetic corpus emails/phones count 0
+    (no such spans exist) while URL spans are dense — the twin still
+    verifies all three counters and the scrubbed-text hash."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9]{3}[- .][0-9]{3,4}[- .][0-9]{4}"
+    urlre = 'https?://[^"<> ]+'
+    doc = F.decode("html", "utf-8")
+    return pages.select(
+        "url",
+        F.regexp_count(doc, F.lit(email)).cast("int").alias("n_emails"),
+        F.regexp_count(doc, F.lit(phone)).cast("int").alias("n_phones"),
+        F.regexp_count(doc, F.lit(urlre)).cast("int").alias("n_urls"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(doc, email, "<EMAIL>"), urlre, "<URL>"
+            )
+        ).alias("scrubbed_md5"),
+    )
+
+
 def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition signal: the fraction of
     word 2-grams that are duplicates of an earlier 2-gram in the same

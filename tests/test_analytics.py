@@ -269,6 +269,64 @@ def test_pagerank_fixed_point_converges(spark):
     assert 1 < iters < 100
 
 
+def test_paragraph_dedup_semantics(spark, tmp_path):
+    """Chunk-level dedup: a full copy of an earlier doc loses every
+    chunk (dup_ratio 1.0, kept text empty), a doc sharing only its
+    boilerplate prefix loses exactly that chunk, and unique docs keep
+    everything."""
+    import hashlib
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # exactly one 10-token chunk
+    uniq_a = " ".join(f"a{i}" for i in range(25))
+    uniq_b = " ".join(f"c{i}" for i in range(20))
+    texts = [
+        (1, uniq_a),                     # 3 chunks (25 toks), all kept
+        (2, uniq_a),                     # full copy → everything dup
+        (3, boiler + " " + uniq_b),      # 3 chunks, chunk 0 == doc 4's chunk 0
+        (4, boiler + " " + "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "t", len(t)) for i, t in texts],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "pd")
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    rows = {r["doc_id"]: r for r in analytics.paragraph_dedup(spark, d).collect()}
+    assert rows[1]["n_dup_chunks"] == 0 and rows[1]["dup_ratio"] == 0.0
+    assert rows[2]["dup_ratio"] == 1.0 and rows[2]["n_dup_chunks"] == rows[2]["n_chunks"]
+    assert rows[2]["kept_md5"] == hashlib.md5(b"").hexdigest()
+    # doc 3 keeps the boilerplate chunk (it is the min (doc_id, pos)
+    # owner); doc 4 loses exactly it
+    assert rows[3]["n_dup_chunks"] == 0
+    assert rows[4]["n_dup_chunks"] == 1 and rows[4]["n_chunks"] == 2
+    kept4 = "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9"
+    assert rows[4]["kept_md5"] == hashlib.md5(kept4.encode()).hexdigest()
+    # corpus-level sanity at sf0.01: every doc present, ratios bounded
+    corpus = analytics.paragraph_dedup(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(corpus) == n_docs
+    assert all(0.0 <= r["dup_ratio"] <= 1.0 for r in corpus)
+
+
+def test_pii_scrub_counts(spark):
+    """URL spans are dense in the fixture html (every href); emails and
+    phones are absent; the scrub hash must differ from the raw hash
+    exactly when something was replaced."""
+    from crawlfront.fixtures import fixture_dir_for_sf
+    from crawlfront.frontier import scan_pages
+    from pyspark.sql import functions as F
+
+    pages = scan_pages(spark, str(fixture_dir_for_sf(0.01))).limit(200)
+    out = analytics.pii_scrub(spark, pages)
+    joined = out.join(
+        pages.select("url", F.md5(F.decode("html", "utf-8")).alias("raw_md5")), "url"
+    ).collect()
+    assert all(r["n_emails"] == 0 and r["n_phones"] == 0 for r in joined)
+    assert any(r["n_urls"] > 0 for r in joined)
+    for r in joined:
+        assert (r["scrubbed_md5"] != r["raw_md5"]) == (r["n_urls"] > 0)
+
+
 def test_parse_media_dims_headers():
     """Real stdlib header decode (VERDICT r2 item 3): PNG IHDR, GIF LSD,
     JPEG SOF behind variable-length segments; adversarial bytes return
