@@ -309,11 +309,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 3,
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
+    # the keep list is bounded by the BAND-KEY SPACE (≤ 4 bands × 2^15
+    # keys rows at any corpus size — it counts buckets, not docs), so it
+    # always broadcasts: the guard costs one count-aggregate plus a
+    # broadcast semi, never a shuffle of the banded set
     keep = (
         banded.groupBy("band", "key").agg(F.count("*").alias("pop"))
         .filter(F.col("pop") <= max_bucket).select("band", "key")
     )
-    banded = banded.join(keep, ["band", "key"], "left_semi")
+    banded = banded.join(F.broadcast(keep), ["band", "key"], "left_semi")
     return (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "key"])
