@@ -270,7 +270,7 @@ def _stage_submit_launch(stage_dir: Path) -> tuple[str, str, str]:
 
 def bench_scaling(sf: float, n_batches: int, cores_low: int = 8,
                   cores_high: int = 32, repeats: int = 2,
-                  launcher: str = "submit") -> dict:
+                  launcher: str = "submit", pipelined: bool = False) -> dict:
     """Same drain job, identical input/seed/config, at local[N] and
     local[4N] — the sandbox stand-in for N vs 4N executors.
 
@@ -297,6 +297,8 @@ def bench_scaling(sf: float, n_batches: int, cores_low: int = 8,
     import subprocess
 
     worker_args = ["--drain-once", "--sf", str(sf), "--batches", str(n_batches)]
+    if pipelined:
+        worker_args.append("--pipelined")
     stage_ctx = tempfile.TemporaryDirectory(prefix="crawlfront-submit-")
     if launcher == "submit":
         # the mandated launch mode: a real ``spark-submit --py-files
@@ -358,7 +360,7 @@ def bench_scaling(sf: float, n_batches: int, cores_low: int = 8,
     }
 
 
-def scaling_cfg():
+def scaling_cfg(pipelined: bool = False):
     from crawlfront.frontier import EngineConfig
 
     # snapshot commits: mega-batches change ~every frontier row, so a
@@ -371,10 +373,12 @@ def scaling_cfg():
     # single shared sandbox disk then serializes all cores).
     return EngineConfig(budget_scale=10_000, unbounded_drain=True,
                         n_shards=256, shard_capacity=100_000,
-                        frontier_commit="snapshot", bucketed_fetch=True)
+                        frontier_commit="snapshot", bucketed_fetch=True,
+                        pipelined_drain=pipelined)
 
 
-def drain_once(sf: float, cores: int, n_batches: int) -> dict:
+def drain_once(sf: float, cores: int, n_batches: int,
+               pipelined: bool = False) -> dict:
     """Subprocess worker for --scaling: one parallelism level, fresh JVM.
 
     Runs the WHOLE drain once untimed first (JIT/codegen warm-up — at 32
@@ -391,8 +395,10 @@ def drain_once(sf: float, cores: int, n_batches: int) -> dict:
         # the crawl ramp-up (seed-sized batches), the timed batches are
         # the full-grown frontier drains
         wu = max(0, WARMUP_BATCHES)
-        run_drain(spark, sf, wu + n_batches, cfg=scaling_cfg(), warmup=0)
-        return run_drain(spark, sf, n_batches, cfg=scaling_cfg(), warmup=wu)
+        run_drain(spark, sf, wu + n_batches, cfg=scaling_cfg(pipelined), warmup=0,
+                  pipelined=pipelined)
+        return run_drain(spark, sf, n_batches, cfg=scaling_cfg(pipelined), warmup=wu,
+                  pipelined=pipelined)
     finally:
         spark.stop()
 
@@ -410,16 +416,21 @@ def main() -> int:
     ap.add_argument("--cores-low", type=int, default=8)
     ap.add_argument("--cores-high", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--pipelined", action="store_true",
+                    help="drain via the double-buffered pipeline "
+                         "(EngineConfig.pipelined_drain) in both "
+                         "--drain-once and --scaling modes")
     ap.add_argument("--launcher", choices=("submit", "python"), default="submit",
                     help="--scaling per-sample launch mode: real spark-submit "
                          "--py-files crawlfront.zip (default, the mandated "
                          "launch mode) or a plain python subprocess")
     args = ap.parse_args()
     if args.drain_once:
-        result = drain_once(args.sf, args.cpus, args.batches)
+        result = drain_once(args.sf, args.cpus, args.batches, args.pipelined)
     elif args.scaling:
         result = bench_scaling(args.sf, args.batches, args.cores_low,
-                               args.cores_high, args.repeats, args.launcher)
+                               args.cores_high, args.repeats, args.launcher,
+                               args.pipelined)
     else:
         result = bench_default(args.sf_dir, args.cpus)
     print(json.dumps(result))

@@ -35,6 +35,11 @@ SUBSET = [
     "d7_udtf_url_segments",
     "d8_udaf_host_median",
     "pipeline_clean_corpus",
+    # round-3 additions
+    "paragraph_dedup",
+    "pii_scrub",
+    "g2_anchor_stats",
+    "multimodal_meta",  # now a REAL decode (hex-walk twin) — pin it here
 ]
 
 
