@@ -393,6 +393,36 @@ def _q_drain_2batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_drain_2batches_pipelined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-pipelined — the SAME two checkpointed micro-batches through
+    the double-buffered drain (EngineConfig.pipelined_drain: batch 2
+    plans against batch 1's in-memory next-state views while batch 1's
+    sinks flush).  Shares t1_t2_drain_2batches' chained-SQL oracle twin
+    verbatim: the pipelined engine must be value-hash-identical to the
+    sequential one, so the overlap path is driver-verified every round,
+    not just pytest-pinned."""
+    import dataclasses
+    import tempfile
+
+    from crawlfront.frontier import CrawlEngine
+
+    cfg = dataclasses.replace(_CFG, pipelined_drain=True)
+    eng = CrawlEngine(spark, _fx(sf_dir), tempfile.mkdtemp(prefix="drain_qp_"), cfg)
+    eng.run(2)
+    return (
+        eng.counters()
+        .groupBy("batch_id")
+        .agg(
+            *[
+                F.sum(c).alias(c)
+                for c in ("fetched", "deduped", "robots_blocked",
+                          "politeness_deferred", "failed")
+            ]
+        )
+        .orderBy("batch_id")
+    )
+
+
 def _q_refresh_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 entry point (2) — recompute politeness from frontier
     pressure: hot hosts get the reduced budget unless explicitly set."""
@@ -802,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_url_trap_score": _q_url_trap_score,
         "a4_bloom_shard_stats": _q_bloom_shard_stats,
         "t1_t2_drain_2batches": _q_drain_2batches,
+        "t1p_drain_2batches_pipelined": _q_drain_2batches_pipelined,
         "o1_drain_limit": _q_drain_limit,
         "refresh_gates": _q_refresh_gates,
         "o3_topk_hot_hosts": _q_topk_hot_hosts,
@@ -1711,4 +1742,7 @@ def oracle_sql() -> dict[str, str]:
         # the growing seen set — the bloom+confirm two-tier path is
         # EXACT by construction, so plain set difference is its twin)
         "t1_t2_drain_2batches": t1t2_sql,
+        # the pipelined drain must equal the sequential one row-for-row —
+        # same chained-SQL twin, so the driver value-hashes the overlap path
+        "t1p_drain_2batches_pipelined": t1t2_sql,
     }
