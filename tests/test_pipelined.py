@@ -45,6 +45,27 @@ def test_pipelined_equals_sequential(spark, fixture_dir):
     shutil.rmtree(tb)
 
 
+def test_pipelined_bucketed_state_combo(spark, fixture_dir):
+    """The two round-3 engine features compose: a pipelined drain over
+    bucketed frontier state (catalog-table writes racing the next
+    batch's plan) lands on exactly the sequential default engine's
+    tables, across a compaction boundary."""
+    ta = tempfile.mkdtemp(prefix="cf_pipe_bkt_a_")
+    tb = tempfile.mkdtemp(prefix="cf_pipe_bkt_b_")
+    seq = CrawlEngine(spark, fixture_dir, ta, EngineConfig(compact_every=3))
+    seq.run(4)
+    combo = CrawlEngine(
+        spark, fixture_dir, tb,
+        EngineConfig(compact_every=3, pipelined_drain=True, bucketed_state=True),
+    )
+    combo.run(4)
+    a, b = _tables(seq), _tables(combo)
+    for w in a:
+        assert a[w] == b[w], w
+    shutil.rmtree(ta)
+    shutil.rmtree(tb)
+
+
 def test_pipelined_resume_interop(spark, fixture_dir):
     """A checkpoint written by the pipelined loop is a normal checkpoint:
     the sequential engine resumes from it (and vice versa) and lands on
