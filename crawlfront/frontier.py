@@ -537,6 +537,7 @@ class _PlannedBatch:
         self.man = man
         self.timings: dict = {}
         self._n_scheduled: int | None = None
+        self._seen_delta: DataFrame | None = None
         # populated by _plan_batch:
         #   pool, fut_results, cobs, timed, mark, n_scheduled, next_manifest,
         #   write_frontier/write_shards/write_seen/write_counters,
@@ -898,7 +899,7 @@ class CrawlEngine:
             # the previous batch's in-memory key delta — never a recursive
             # chain of views, which would pin every ancestor's frames
             seen = self._seen_union(live.man.get("seen_batches", [])).unionByName(
-                live.seen_delta
+                live.seen_delta()
             )
             cached = [frontier, shards]
         else:
@@ -1210,10 +1211,28 @@ class CrawlEngine:
         # manifest commits
         p.next_frontier = next_frontier
         p.next_shards = next_shards
-        p.seen_delta = new_rows.select(
-            "url_norm", "url_hash64",
-            seen_bucket("url_hash64", cfg.n_seen_buckets).alias("kb"),
-        )
+        # seen_delta MUST be lineage-barriered: the next batch's confirm
+        # leg embeds it, and ITS new_rows tree embeds the previous
+        # batch's seen_delta — un-barriered, the analyzed plan chains
+        # through every prior pipelined batch and grows multiplicatively
+        # (observed: a 687 MB plan rendering by batch ~10 of a pipelined
+        # soak, the same Catalyst subtree-expansion failure mode the
+        # plan_barrier exists for).  The barrier makes seen(k) =
+        # committed parquet ∪ one compact leaf, constant-depth forever.
+        # Built lazily (memoized) so the sequential path — which never
+        # reads it — pays no barrier-construction cost.
+        def seen_delta() -> DataFrame:
+            if p._seen_delta is None:
+                p._seen_delta = _bar(
+                    new_rows.select(
+                        "url_norm", "url_hash64",
+                        seen_bucket("url_hash64", cfg.n_seen_buckets).alias("kb"),
+                    )
+                )
+                cached.append(p._seen_delta)  # released with the batch's frames
+            return p._seen_delta
+
+        p.seen_delta = seen_delta
 
         p.pool, p.fut_results, p.cobs = pool, fut_results, cobs
         p.timed, p.mark = _timed, _mark
