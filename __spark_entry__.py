@@ -1506,6 +1506,11 @@ def oracle_sql() -> dict[str, str]:
                         (sqrt(list_dot_product(l.emb, l.emb)) * sqrt(list_dot_product(r.emb, r.emb))), 6) AS cos
                 FROM asn l JOIN asn r USING (cent_id) WHERE l.vec_id < r.vec_id)
           SELECT a, b, cos FROM p WHERE cos >= 0.3""",
+        # the adaptive coarse prune (analytics.ann_ivf_topk) is OFF at the
+        # contract sf: est. candidates = n_assign·nprobe·n/n_centroids =
+        # 3·12·500/22 ≈ 818 < prune_min_cand (10 000), so the twin ranks
+        # every candidate by the exact cosine directly — the rule is a
+        # pure function of (n, params), mirrored statically here
         "ann_ivf_topk": emb_prefix + """,
           asn AS (SELECT vec_id, cent_id FROM (
                     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS ark
@@ -1520,19 +1525,11 @@ def oracle_sql() -> dict[str, str]:
                  WHERE prk <= 12),
           cand AS (SELECT DISTINCT pr.query_id, asn.vec_id
                    FROM pr JOIN asn USING (cent_id) WHERE asn.vec_id != pr.query_id),
-          coarse AS (SELECT cand.query_id, cand.vec_id,
-                       round(list_dot_product(q.qe[1:48], e.emb[1:48]) /
-                             (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb))), 9) AS cs
-                     FROM cand JOIN q ON cand.query_id = q.query_id
-                     JOIN e ON cand.vec_id = e.vec_id),
-          kept AS (SELECT query_id, vec_id FROM (
-                     SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS crk
-                     FROM coarse) WHERE crk <= 192),
-          scored AS (SELECT kept.query_id, kept.vec_id AS neighbor_id,
+          scored AS (SELECT cand.query_id, cand.vec_id AS neighbor_id,
                        round(list_dot_product(q.qe, e.emb) /
                              (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos
-                     FROM kept JOIN q ON kept.query_id = q.query_id
-                     JOIN e ON kept.vec_id = e.vec_id),
+                     FROM cand JOIN q ON cand.query_id = q.query_id
+                     JOIN e ON cand.vec_id = e.vec_id),
           ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)::int AS rk
                      FROM scored)
           SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5""",
@@ -1635,7 +1632,8 @@ def oracle_sql() -> dict[str, str]:
                  len(regexp_extract_all(decode(html), '{_PII_EMAIL}'))::int AS n_emails,
                  len(regexp_extract_all(decode(html), '{_PII_PHONE}'))::int AS n_phones,
                  len(regexp_extract_all(decode(html), '{_PII_URL}'))::int AS n_urls,
-                 md5(regexp_replace(regexp_replace(decode(html), '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 md5(regexp_replace(regexp_replace(regexp_replace(decode(html), '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                                                   '{_PII_PHONE}', '<PHONE>', 'g'),
                                     '{_PII_URL}', '<URL>', 'g')) AS scrubbed_md5
           FROM {pages}""",
         "pipeline_clean_corpus": """

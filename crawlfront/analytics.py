@@ -291,8 +291,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 3,
     ``distinct`` merges multi-band hits), and a hot bucket means ≥
     max_bucket mutually-near docs, which exact-dedup/clustering upstream
     should have collapsed anyway.  The DuckDB twin mirrors the guard
-    (same GROUP BY/HAVING), so the contract stays value-exact."""
-    fp = simhash_docs(spark, sf_dir)
+    (same GROUP BY/HAVING), so the contract stays value-exact.
+
+    The fingerprint frame is localCheckpoint'd (VERDICT r3 item 2):
+    three legs consume it — the guard's count-aggregate and both sides
+    of the self-join — and Catalyst expands the shared subtree along
+    every DAG path, so unbarriered the token-explode + 60-sum pipeline
+    (the dominant cost) ran 2-3× per query (the keep leg's exchange
+    differs from the join legs', so ReusedExchange can't merge them).
+    The checkpoint is (doc_id, int64) — tiny at any corpus size —
+    computed once, read three times (measured 2.33 → 1.67 s at sf0.1)."""
+    fp = simhash_docs(spark, sf_dir).localCheckpoint(eager=True)
     band_mask = (1 << SIMHASH_BAND_BITS) - 1
     banded = fp.select(
         "doc_id", "simhash",
@@ -442,7 +451,10 @@ def _refined_centroids(emb: DataFrame, cents: DataFrame,
     (≤5e-7 per coordinate) is far below any clustering signal.  At
     corpus scale this is one (n/sample_mod)·k assignment pass plus one
     (cent, dim) aggregation — both embarrassingly parallel, no serial
-    stage."""
+    stage.  (An r4 experiment replaced the posexplode → (cent, pos)
+    groupBy with one dims-wide 64-sum aggregate — it measured ~0.6 s
+    SLOWER at sf0.1 despite one fewer shuffle, so the 2-shuffle
+    map-side-combinable shape stays.)"""
     sample = emb.filter(
         F.pmod(
             portable_hash64(F.concat(F.lit("kmeans|"), F.col("vec_id").cast("string"))),
@@ -476,7 +488,8 @@ def _refined_centroids(emb: DataFrame, cents: DataFrame,
 def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 10,
                  n_centroids: int | None = None, nprobe: int = 12,
                  n_assign: int = 3, refine: bool = True,
-                 prune_dims: int | None = 48, prune_keep: int = 192) -> DataFrame:
+                 prune_dims: int | None = 48, prune_keep: int = 192,
+                 prune_min_cand: int = 10_000) -> DataFrame:
     """IVF-flat ANN — the 100 TB scale path: vectors are bucketed by
     their ``n_assign`` nearest coarse centroids once (a write-time
     partitioning in a real deployment); a query scans only its ``nprobe``
@@ -490,45 +503,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 
     recall floor of probing f of the corpus is ≈f for random data);
     clustered production embeddings reach the same recall with far
     smaller nprobe.  Candidate pairs reached via several shared buckets
-    are deduped before ranking.
+    are deduped before ranking.  Centroid assignment and probe
+    selection are row-side array sorts against the broadcast centroid
+    set (``_topn_cents``) — zero exchanges; r3's window formulation
+    shuffled the n·k score cross-product twice.
 
-    Coarse-distance prune (VERDICT r2 item 7): before the exact cosine,
-    candidates are scored by the dot of their first ``prune_dims``
-    coordinates (normalized by the precomputed full norms — free) and
-    only the top ``prune_keep`` per query survive to the full-dimension
-    rerank — the same idea as int8/PQ coarse scoring, kept as a float
-    prefix dot so the fixed-order sum stays bit-identical in DuckDB and
-    the twin remains value-exact.  Exact rerank of survivors preserves
-    determinism.  Defaults (48 of 64 dims, keep 192) are tuned on the
-    UNCLUSTERED synthetic embeddings, where a short prefix is a weak
-    proxy (corr ≈ √(d'/d)): measured at sf0.1, 16/64 cut recall to
-    0.54 while 48/192 holds 0.98 at ~8%% less wall (warm local[8],
-    2.70 vs 2.94 s) — the FLOP cut is 25%% on the scanned set plus a
-    bounded rerank; clustered production embeddings tolerate far
-    shorter prefixes.  Recall is pinned ≥0.9 at two scale factors
-    (test_ivf_recall*)."""
+    Coarse-distance prune, ADAPTIVE (VERDICT r3 item 1): candidates can
+    be pre-ranked by the dot of their first ``prune_dims`` coordinates
+    and cut to ``prune_keep`` per query before the full-dimension exact
+    rerank (same idea as int8/PQ coarse scoring, kept as a float prefix
+    dot so the fixed-order sum stays bit-identical in DuckDB).  The
+    prune is a whole extra exchange + per-query sort, while its benefit
+    is the FLOP cut on (candidates − prune_keep) full dots — so it only
+    pays when the expected per-query candidate count, ``n_assign ·
+    nprobe · n / n_centroids``, is large.  r3 engaged it
+    unconditionally and the driver measured +39%% wall at sf0.1 (1600
+    candidates/query: the extra stage cost more than the 25%% FLOP cut
+    saved — the claimed −8%% came from a warm-local[8] protocol that
+    didn't match the driver's).  Now it engages only above
+    ``prune_min_cand`` expected candidates (default 10k, safely past
+    the sandbox-measured break-even; at 10^10 vectors the estimate is
+    36√n ≈ 3.6M/query and the prune is unambiguously right).  The
+    estimate uses ``n`` from the same count that sizes the centroids —
+    no extra job, and the rule is a pure function of (n, params), so
+    the DuckDB twin mirrors its decision statically at the contract sf.
+    Recall is pinned ≥0.9 at two scale factors (test_ivf_recall*), and
+    the forced-prune path keeps its own recall + equivalence pin
+    (test_ivf_prune_forced).
+
+    The (refined) centroid set is localCheckpoint'd: ``cents_row`` is
+    consumed by BOTH the assignment and the probe legs, and Catalyst
+    expands shared subtrees per DAG path — unbarriered, the whole
+    sample-assign + k-means-mean pipeline ran twice per query (the r4
+    interleaved A/B: 3.5 s unbarriered vs 2.0 s barriered at sf0.1).
+    The checkpoint is k·dims doubles — metadata-sized at any corpus."""
     emb = (
-        _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        _read(spark, sf_dir, "embeddings", parallel=True)
+        .select("vec_id", "embedding")
         .withColumn("ne", _norm(F.col("embedding")))
     )
+    n = _read(spark, sf_dir, "embeddings").count()
     if n_centroids is None:
-        n_centroids = scaled_n_centroids(emb.count())
+        n_centroids = scaled_n_centroids(n)
     cents = _sampled_centroids(emb, n_centroids)
     if refine:
         cents = _refined_centroids(emb, cents)
-    assigned = _centroid_assignment(emb, cents, n_assign=n_assign)
+    cents_row = _cents_array(cents.localCheckpoint(eager=True))
+    assigned = _topn_cents(
+        emb.select("vec_id", "embedding", "ne"), "embedding", "ne",
+        cents_row, n_assign,
+    )
     queries = (
         emb.orderBy("vec_id").limit(n_queries)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"),
                 F.col("ne").alias("nq"))
     )
-    wprobe = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("csim", F.round(_dot("q", "c") / (F.col("nq") * F.col("nc")), 9))
-        .withColumn("prk", F.row_number().over(wprobe))
-        .filter(F.col("prk") <= nprobe)
-        .select("query_id", "q", "nq", "cent_id")
+    probes = _topn_cents(queries, "q", "nq", cents_row, nprobe).select(
+        "query_id", "q", "nq", "cent_id"
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     cand = (
@@ -537,7 +568,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 
         # a vector reachable through several probed buckets appears once
         .dropDuplicates(["query_id", "vec_id"])
     )
-    if prune_dims:
+    est_cand = n_assign * nprobe * n / max(n_centroids, 1)
+    if prune_dims and est_cand >= prune_min_cand:
         wcoarse = Window.partitionBy("query_id").orderBy(
             F.desc("coarse"), F.asc("vec_id")
         )
@@ -564,22 +596,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 
     )
 
 
+def _cents_array(cents: DataFrame) -> DataFrame:
+    """All centroids packed into ONE row (array of (cent_id, c, nc)
+    structs) for the shuffle-free top-n selection below.  collect_list
+    order is not deterministic — irrelevant here, because every consumer
+    re-sorts by score with a total tie-break."""
+    return cents.agg(F.collect_list(F.struct("cent_id", "c", "nc")).alias("cs"))
+
+
+def _topn_cents(df: DataFrame, vec_col: str, norm_col: str,
+                cents_row: DataFrame, n: int) -> DataFrame:
+    """Per-row top-``n`` centroids by (cosine desc, cent_id asc),
+    computed INSIDE the row against the broadcast centroid array:
+    score every centroid, array_sort on (negated integer score key,
+    cent_id), slice n, explode.  Replaces r3's crossJoin + row_number
+    window — which shuffled the full |rows|·|centroids| cross product
+    just to rank it (at 10^10 vectors that exchange is the plan's
+    biggest item; here assignment is a narrow map over the scan).
+    Measured at sf0.1: the window version put 2000·45 rows through an
+    exchange+sort per call; this is zero exchanges.
+
+    The sort key is -round(csim·1e9): csim is already rounded to 9 dp,
+    so csim·1e9 is integral up to fp ulp and round() recovers it
+    exactly — the long key is a monotone bijection of the 9-dp score,
+    giving the IDENTICAL total order (csim desc, cent_id asc) the
+    row_number twin (and the DuckDB oracle) uses.  Adds columns
+    ``cent_id`` (exploded, ≤ n rows per input row)."""
+    csim = lambda ct: F.round(  # noqa: E731
+        _dot(F.col(vec_col), ct["c"]) / (F.col(norm_col) * ct["nc"]), 9
+    )
+    scores = F.transform(
+        "cs",
+        lambda ct: F.struct(
+            (-F.round(csim(ct) * F.lit(1e9), 0)).cast("long").alias("nk"),
+            ct["cent_id"].alias("cent_id"),
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(cents_row))
+        .withColumn("_top", F.slice(F.array_sort(scores), 1, n))
+        .drop("cs")
+        .withColumn("cent_id", F.explode(F.col("_top.cent_id")))
+        .drop("_top")
+    )
+
+
 def _centroid_assignment(emb: DataFrame, cents: DataFrame,
                          n_assign: int = 1) -> DataFrame:
     """Deterministic coarse-centroid assignment (shared by ann_ivf_topk
-    and dedup_embedding): ``cents`` from ``_sampled_centroids`` (passed
-    in, not recomputed — the caller usually needs it again for probes);
-    every vector goes to its ``n_assign`` highest-cosine centroids (ties
-    → lowest cent_id).  In a real deployment this is a write-time
-    bucketing."""
-    wassign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-    return (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("csim", F.round(_dot("embedding", "c") / (F.col("ne") * F.col("nc")), 9))
-        .withColumn("ark", F.row_number().over(wassign))
-        .filter(F.col("ark") <= n_assign)
-        .select("vec_id", "embedding", "ne", "cent_id")
-    )
+    and dedup_embedding): every vector goes to its ``n_assign``
+    highest-cosine centroids (ties → lowest cent_id), selected row-side
+    against the broadcast centroid array (``_topn_cents`` — no
+    exchange; r3's window version shuffled the n·k cross product).  In
+    a real deployment this is a write-time bucketing."""
+    return _topn_cents(
+        emb.select("vec_id", "embedding", "ne"), "embedding", "ne",
+        _cents_array(cents), n_assign,
+    ).select("vec_id", "embedding", "ne", "cent_id")
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str, cos_threshold: float = 0.3,
@@ -592,15 +665,19 @@ def dedup_embedding(spark: SparkSession, sf_dir: str, cos_threshold: float = 0.3
     k).  Blocking recall is bounded by bucket granularity, like every
     IVF-style near-dup pass."""
     emb = (
-        _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        _read(spark, sf_dir, "embeddings", parallel=True)
+        .select("vec_id", "embedding")
         .withColumn("ne", _norm(F.col("embedding")))
     )
     if n_centroids is None:
-        n_centroids = scaled_n_centroids(emb.count())
+        n_centroids = scaled_n_centroids(_read(spark, sf_dir, "embeddings").count())
     cents = _sampled_centroids(emb, n_centroids)
     if refine:
         cents = _refined_centroids(emb, cents)
-    assigned = _centroid_assignment(emb, cents)
+    # barrier the centroid pipeline: the self-join's two legs each
+    # re-derive the assignment, and ReusedExchange can only merge them
+    # when their centroid input is a leaf, not a re-expanded subtree
+    assigned = _centroid_assignment(emb, cents.localCheckpoint(eager=True))
     return (
         assigned.alias("l")
         .join(assigned.alias("r"), "cent_id")
@@ -777,7 +854,10 @@ def min_label_closure(labels: DataFrame, edges: DataFrame,
     - each round is plan-barriered (``localCheckpoint``) so lineage
       doesn't grow with the iteration count (CLAUDE.md: Catalyst expands
       shared subtrees per DAG path — an unbarriered 50-round loop is a
-      2^50 plan).
+      2^50 plan), and superseded checkpoints are unpersisted once their
+      successor is materialized (eager) — a slow-converging run holds at
+      most the live (cur, delta) pair in the block manager, not one
+      copy of the label table per round (ADVICE r3).
 
     ``labels``: (doc_id, cluster_id) initial labels (id = own label);
     ``edges``: symmetric (a, b) pair list.  Returns (labels, n_rounds).
@@ -802,13 +882,19 @@ def min_label_closure(labels: DataFrame, edges: DataFrame,
             .localCheckpoint(eager=True)
         )
         rounds += 1
+        if changed is not cur:  # last round's delta is superseded
+            changed.unpersist()
         if delta.count() == 0:
+            delta.unpersist()
+            changed = cur
             break
+        prev = cur
         cur = (
             cur.join(delta.withColumnRenamed("cluster_id", "new_cl"), "doc_id", "left")
             .select("doc_id", F.coalesce("new_cl", "cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
+        prev.unpersist()  # new cur is materialized; old blocks unreferenced
         changed = delta
     return cur, rounds
 
@@ -842,8 +928,11 @@ def pagerank_fixed_point(nodes: DataFrame, edges_with_deg: DataFrame,
     floors only shrink it), so the changed-count hits 0 in O(log total
     mass) rounds; with all-int64 order-free arithmetic the fixed point
     is exact and deterministic.  Per-round localCheckpoint keeps the
-    plan flat.  ``nodes``: (host); ``edges_with_deg``: (src, dst,
-    outdeg).  Returns (ranks, n_iters)."""
+    plan flat; the superseded round's checkpoint is unpersisted as soon
+    as the changed-count comparison has consumed it (ADVICE r3 — only
+    the live rank table stays in the block manager).  ``nodes``:
+    (host); ``edges_with_deg``: (src, dst, outdeg).  Returns
+    (ranks, n_iters)."""
     ranks = nodes.select("host", F.lit(1000000).cast("long").alias("r")) \
                  .localCheckpoint(eager=True)
     iters = 0
@@ -870,6 +959,7 @@ def pagerank_fixed_point(nodes: DataFrame, edges_with_deg: DataFrame,
             .filter(F.col("n.r") != F.col("p.r"))
             .count()
         )
+        ranks.unpersist()  # comparison done; nxt is self-contained
         ranks = nxt
         if n_changed == 0:
             break
@@ -971,7 +1061,12 @@ def pii_scrub(spark: SparkSession, pages: DataFrame) -> DataFrame:
     stay in the regex subset Java and RE2 (DuckDB) agree on, so the
     twin is value-exact; on the synthetic corpus emails/phones count 0
     (no such spans exist) while URL spans are dense — the twin still
-    verifies all three counters and the scrubbed-text hash."""
+    verifies all three counters and the scrubbed-text hash.  All three
+    counted span kinds are also REPLACED in the scrubbed text (VERDICT
+    r3 item 5 closed the email/URL-only gap — phones scrubbed too;
+    replacement order email → phone → URL is fixed and mirrored by the
+    twin).  The phone pattern requires a separator between digit
+    groups, so it can't overlap the other two patterns' spans."""
     email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
     phone = r"\+?[0-9]{3}[- .][0-9]{3,4}[- .][0-9]{4}"
     urlre = 'https?://[^"<> ]+'
@@ -983,7 +1078,10 @@ def pii_scrub(spark: SparkSession, pages: DataFrame) -> DataFrame:
         F.regexp_count(doc, F.lit(urlre)).cast("int").alias("n_urls"),
         F.md5(
             F.regexp_replace(
-                F.regexp_replace(doc, email, "<EMAIL>"), urlre, "<URL>"
+                F.regexp_replace(
+                    F.regexp_replace(doc, email, "<EMAIL>"), phone, "<PHONE>"
+                ),
+                urlre, "<URL>",
             )
         ).alias("scrubbed_md5"),
     )
