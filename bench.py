@@ -109,8 +109,13 @@ def run_drain(spark, sf: float, n_batches: int, cfg=None, warmup: int = 1,
             for agg in aggs:
                 r = agg["scheduled"] + agg["fetched"]
                 rows += r
-                per_batch.append({"batch": agg["batch_id"], "rows": r})
-            commit_bytes = eng.last_timings.get("commit_bytes", 0) * len(aggs)
+                # real measured bytes per committed batch (each flush
+                # stats its own written dirs) — not an extrapolation from
+                # the last batch (ADVICE r3)
+                cb = agg.get("commit_bytes", 0)
+                commit_bytes += cb
+                per_batch.append({"batch": agg["batch_id"], "rows": r,
+                                  "commit_mb": round(cb / 1e6, 2)})
             return {
                 "drain_batches": n_batches,
                 "drain_sec": round(dt_all, 3),

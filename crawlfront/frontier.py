@@ -1306,7 +1306,13 @@ class CrawlEngine:
             for f in Path(d).rglob("*")
             if f.is_file()
         )
-        self.last_timings = p.timings
+        # real measured bytes travel WITH the batch summary so pipelined
+        # callers can sum per-batch commits instead of extrapolating from
+        # the last batch (ADVICE r3), and so this flusher-thread method
+        # never touches engine state: ``self.last_timings`` is assigned
+        # only by run_batch / run_pipelined on the caller thread, after
+        # the flush future resolves (happens-before via Future.result).
+        agg["commit_bytes"] = p.timings["commit_bytes"]
         return agg
 
     def _release(self, p: _PlannedBatch) -> None:
@@ -1320,7 +1326,10 @@ class CrawlEngine:
     def run_batch(self, extra_manifest: dict | None = None) -> dict:
         man = self.ckpt.manifest()
         assert man is not None, "call init() first"
-        return self._flush_batch(self._plan_batch(man), extra_manifest)
+        p = self._plan_batch(man)
+        agg = self._flush_batch(p, extra_manifest)
+        self.last_timings = p.timings
+        return agg
 
     def run_pipelined(self, n_batches: int) -> list[dict]:
         """T1 double-buffered drain: overlap batch k's sink flush with
@@ -1352,6 +1361,7 @@ class CrawlEngine:
         flusher = ThreadPoolExecutor(max_workers=1)
         held: list[_PlannedBatch] = []  # frames still pinned, oldest first
         fut = None
+        in_flight: _PlannedBatch | None = None
         man = self.ckpt.manifest()
         try:
             for _ in range(n_batches):
@@ -1364,12 +1374,18 @@ class CrawlEngine:
                 man = p.next_manifest()  # counts scheduled (cache scan)
                 if fut is not None:
                     aggs.append(fut.result())  # strict commit order
+                    # last_timings only ever updated on THIS thread, after
+                    # the flush future resolved (ADVICE r3: the flusher
+                    # thread no longer writes engine state)
+                    self.last_timings = in_flight.timings
                     while len(held) > 2:
                         # flush(k) done ⇒ nothing references k-1 any more
                         self._release(held.pop(0))
                 fut = flusher.submit(self._flush_batch, p, None, False)
+                in_flight = p
             if fut is not None:
                 aggs.append(fut.result())
+                self.last_timings = in_flight.timings
         finally:
             flusher.shutdown(wait=True)
             while held:  # normal exit and failure paths both sweep here
