@@ -351,6 +351,36 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str, iters: int = 3) -> DataFr
     return ranks.select("host", F.col("r").alias("authority"))
 
 
+#: unroll depth of the converged-PageRank DuckDB twin — safely past the
+#: measured fixed point on the sf0.01 link graph (15 iterations, 80
+#: hosts; extra rounds are provable no-ops because the integer
+#: recurrence is already stationary).  test_pagerank_twin_unroll_margin
+#: pins engine iterations + margin ≤ this, so fixture drift that slows
+#: convergence fails loudly instead of silently diverging from the twin.
+PR_TWIN_UNROLL = 24
+
+
+def _q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1-converged (VERDICT r3 item 4) — the same integer link-graph
+    PageRank as g1_host_pagerank, but iterated by the engine-side
+    fixed-point loop (``analytics.pagerank_fixed_point``: semi-naive,
+    plan-barriered, stop on zero changed ranks) instead of 3 unrolled
+    rounds.  Because the recurrence is all-int64 and stationary at the
+    fixed point, a DuckDB twin unrolled PAST convergence
+    (``PR_TWIN_UNROLL`` rounds) is value-exact — the driver value-hashes
+    the loop, not just pytest."""
+    links = _discovered_links(spark, sf_dir)
+    edges = links.select("src", ops.host_of("url_norm").alias("dst")).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks, _ = analytics.pagerank_fixed_point(nodes, edges.join(deg, "src"))
+    return ranks.select("host", F.col("r").alias("authority"))
+
+
 def _q_bloom_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/D4 — bloom build over the seed frontier; per-shard stats.
     Oracle twin recomputes the murmur3 shard assignment in DuckDB SQL
@@ -828,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_union_distinct": _q_union_distinct,
         "j5_discover_links": _q_discover_links,
         "g1_host_pagerank": _q_host_pagerank,
+        "g1b_pagerank_converged": _q_pagerank_converged,
         "g2_anchor_stats": _q_anchor_stats,
         "p7_url_trap_score": _q_url_trap_score,
         "a4_bloom_shard_stats": _q_bloom_shard_stats,
@@ -863,6 +894,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": analytics.dedup_exact,
         "dedup_minhash_lsh": analytics.dedup_minhash_lsh,
         "dedup_clusters": analytics.dedup_clusters,
+        # the engine-side fixed-point loop; at the contract sf cluster
+        # diameters are within the unroll depth, so the 3-round twin is
+        # its exact oracle (VERDICT r3 item 4) — the loop itself is
+        # additionally pinned against union-find on a diameter-6 chain
+        "dedup_clusters_converged": analytics.dedup_clusters_converged,
         "dedup_simhash": analytics.dedup_simhash,
         "dedup_ngram_jaccard": analytics.dedup_ngram_jaccard,
         "dedup_embedding": analytics.dedup_embedding,
@@ -890,6 +926,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, scan_pages(spark, _fx(sf_dir))
         ),
     }
+
+
+def _pagerank_sql(linkgraph_sql: str, depth: int) -> str:
+    """DuckDB twin of the integer host-PageRank recurrence, unrolled to
+    ``depth`` rounds over the shared link-graph CTEs.  One generator for
+    both g1 (fixed 3 rounds, matching the unrolled Spark plan) and
+    g1b (``PR_TWIN_UNROLL`` ≥ fixed-point rounds, matching the engine's
+    converge-until-stable loop — valid because the all-int64 recurrence
+    is stationary at its fixed point, so extra rounds are no-ops)."""
+    rounds = "".join(
+        f""",
+          r{i} AS MATERIALIZED (SELECT n.host,
+                   (150000 + coalesce(sum(((x.r * 85) // 100) // x.outdeg), 0))::bigint AS r
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.dst, r{i - 1}.r, d.outdeg FROM edges e
+                   JOIN r{i - 1} ON e.src = r{i - 1}.host JOIN deg d ON e.src = d.src) x
+                 ON n.host = x.dst GROUP BY 1)"""
+        for i in range(1, depth + 1)
+    )
+    # AS MATERIALIZED: DuckDB's default is to INLINE single-reference
+    # CTEs — a depth-d unrolled chain then re-expands the whole
+    # regexp-heavy linkgraph derivation at EVERY round (observed: the
+    # depth-24 twin ran for 30+ minutes inlined, <10 s materialized).
+    # Forcing materialization evaluates each round — and the shared
+    # graph CTEs — exactly once, like the engine does.
+    return (
+        linkgraph_sql
+        + """
+          , edges AS MATERIALIZED (
+              SELECT DISTINCT src,
+                     regexp_extract(url_norm, '^https?://([^/]+)', 1) AS dst
+              FROM canon
+              WHERE starts_with(url_norm, 'http://') OR starts_with(url_norm, 'https://')),
+          nodes AS MATERIALIZED (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+          deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+          r0 AS MATERIALIZED (SELECT host, 1000000::bigint AS r FROM nodes)"""
+        + rounds
+        + f"""
+          SELECT host, r AS authority FROM r{depth}"""
+    )
 
 
 def _phash_sql(expr: str) -> str:
@@ -975,7 +1051,7 @@ def oracle_sql() -> dict[str, str]:
           banded AS ({minhash_bands})"""
 
     # minhash LSH candidate pairs + exact-Jaccard verification (shared
-    # by dedup_minhash_lsh and dedup_clusters)
+    # by dedup_minhash_lsh and the dedup_clusters twins)
     minhash_pairs_sql = minhash_prefix + """,
           pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
                     FROM banded l JOIN banded r
@@ -985,6 +1061,30 @@ def oracle_sql() -> dict[str, str]:
                     round(len(list_intersect(sa.s, sb.s)) /
                           (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::double, 4) AS jaccard
                   FROM pairs p JOIN vsh sa ON p.a = sa.doc_id JOIN vsh sb ON p.b = sb.doc_id)"""
+
+    # 3-round unrolled min-label propagation over the verified pair
+    # graph — the twin for BOTH dedup_clusters (same unroll) and
+    # dedup_clusters_converged (exact because sf0.01 diameters ≤ 3)
+    clusters_sql = minhash_pairs_sql + """,
+          vp AS (SELECT a, b FROM ver WHERE jaccard >= 0.5),
+          sym AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),
+          l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),
+          l1 AS (SELECT l.doc_id,
+                   least(l.cluster_id, coalesce(min(n.cluster_id), l.cluster_id)) AS cluster_id
+                 FROM l0 l LEFT JOIN sym e ON l.doc_id = e.a
+                 LEFT JOIN l0 n ON e.b = n.doc_id
+                 GROUP BY l.doc_id, l.cluster_id),
+          l2 AS (SELECT l.doc_id,
+                   least(l.cluster_id, coalesce(min(n.cluster_id), l.cluster_id)) AS cluster_id
+                 FROM l1 l LEFT JOIN sym e ON l.doc_id = e.a
+                 LEFT JOIN l1 n ON e.b = n.doc_id
+                 GROUP BY l.doc_id, l.cluster_id),
+          l3 AS (SELECT l.doc_id,
+                   least(l.cluster_id, coalesce(min(n.cluster_id), l.cluster_id)) AS cluster_id
+                 FROM l2 l LEFT JOIN sym e ON l.doc_id = e.a
+                 LEFT JOIN l2 n ON e.b = n.doc_id
+                 GROUP BY l.doc_id, l.cluster_id)
+          SELECT doc_id, cluster_id, doc_id = cluster_id AS is_kept FROM l3"""
 
     # simhash: 60 per-bit ±1 votes over per-token portable hashes
     simhash_votes = ",\n                 ".join(
@@ -1240,35 +1340,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT url_norm, sum(n_from_src)::bigint AS n_inlinks,
                  count(*)::bigint AS n_src_hosts, min(src) AS first_src
           FROM per_src GROUP BY url_norm""",
-        "g1_host_pagerank": linkgraph_sql
-        + f"""
-          , edges AS (
-              SELECT DISTINCT src,
-                     regexp_extract(url_norm, '^https?://([^/]+)', 1) AS dst
-              FROM canon
-              WHERE starts_with(url_norm, 'http://') OR starts_with(url_norm, 'https://')),
-          nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
-          deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
-          r0 AS (SELECT host, 1000000::bigint AS r FROM nodes),
-          r1 AS (SELECT n.host,
-                   (150000 + coalesce(sum(((x.r * 85) // 100) // x.outdeg), 0))::bigint AS r
-                 FROM nodes n LEFT JOIN (
-                   SELECT e.dst, r0.r, d.outdeg FROM edges e
-                   JOIN r0 ON e.src = r0.host JOIN deg d ON e.src = d.src) x
-                 ON n.host = x.dst GROUP BY 1),
-          r2 AS (SELECT n.host,
-                   (150000 + coalesce(sum(((x.r * 85) // 100) // x.outdeg), 0))::bigint AS r
-                 FROM nodes n LEFT JOIN (
-                   SELECT e.dst, r1.r, d.outdeg FROM edges e
-                   JOIN r1 ON e.src = r1.host JOIN deg d ON e.src = d.src) x
-                 ON n.host = x.dst GROUP BY 1),
-          r3 AS (SELECT n.host,
-                   (150000 + coalesce(sum(((x.r * 85) // 100) // x.outdeg), 0))::bigint AS r
-                 FROM nodes n LEFT JOIN (
-                   SELECT e.dst, r2.r, d.outdeg FROM edges e
-                   JOIN r2 ON e.src = r2.host JOIN deg d ON e.src = d.src) x
-                 ON n.host = x.dst GROUP BY 1)
-          SELECT host, r AS authority FROM r3""",
+        "g1_host_pagerank": _pagerank_sql(linkgraph_sql, 3),
+        # the fixed-point loop's twin: the SAME recurrence unrolled PAST
+        # its measured convergence (15 rounds at sf0.01) — once ranks are
+        # stationary every further round reproduces them exactly, so a
+        # static depth-24 chain equals the converge-until-stable engine
+        "g1b_pagerank_converged": _pagerank_sql(linkgraph_sql, PR_TWIN_UNROLL),
         "u1_union_distinct": """
           SELECT c_custkey AS k FROM customer
           UNION
@@ -1447,26 +1524,13 @@ def oracle_sql() -> dict[str, str]:
           WHERE round(co.n_common / (sa.n_sh + sb.n_sh - co.n_common)::double, 4) >= 0.5""",
         "dedup_minhash_lsh": minhash_pairs_sql + """
           SELECT a, b, jaccard FROM ver WHERE jaccard >= 0.5""",
-        "dedup_clusters": minhash_pairs_sql + """,
-          vp AS (SELECT a, b FROM ver WHERE jaccard >= 0.5),
-          sym AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),
-          l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),
-          l1 AS (SELECT l.doc_id,
-                   least(l.cluster_id, coalesce(min(n.cluster_id), l.cluster_id)) AS cluster_id
-                 FROM l0 l LEFT JOIN sym e ON l.doc_id = e.a
-                 LEFT JOIN l0 n ON e.b = n.doc_id
-                 GROUP BY l.doc_id, l.cluster_id),
-          l2 AS (SELECT l.doc_id,
-                   least(l.cluster_id, coalesce(min(n.cluster_id), l.cluster_id)) AS cluster_id
-                 FROM l1 l LEFT JOIN sym e ON l.doc_id = e.a
-                 LEFT JOIN l1 n ON e.b = n.doc_id
-                 GROUP BY l.doc_id, l.cluster_id),
-          l3 AS (SELECT l.doc_id,
-                   least(l.cluster_id, coalesce(min(n.cluster_id), l.cluster_id)) AS cluster_id
-                 FROM l2 l LEFT JOIN sym e ON l.doc_id = e.a
-                 LEFT JOIN l2 n ON e.b = n.doc_id
-                 GROUP BY l.doc_id, l.cluster_id)
-          SELECT doc_id, cluster_id, doc_id = cluster_id AS is_kept FROM l3""",
+        "dedup_clusters": clusters_sql,
+        # the converge-until-stable loop: at sf0.01 every cluster
+        # diameter is within the 3-round unroll (measured: converges in
+        # 2 rounds), so the unrolled twin is its exact oracle; the
+        # loop's advantage (deep chains) is separately pinned by pytest
+        # on a diameter-6 graph the unrolled shape provably gets wrong
+        "dedup_clusters_converged": clusters_sql,
         "simhash_fingerprints": simhash_prefix + """
           SELECT doc_id, simhash FROM fp""",
         "dedup_simhash": simhash_prefix + f""",
@@ -1655,12 +1719,14 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, pred_lang, quality, bpe_est_tokens,
                  (('0x' || substr(md5(md5(text)), 1, 15))::bigint % 8)::int AS shard
           FROM d2 WHERE rn = 1""",
-        # multimodal: the twin re-decodes PNG/GIF/JPEG dimensions from
-        # hex(html) — fixed-offset field reads for PNG IHDR / GIF LSD and
-        # a recursive-CTE marker walk for JPEG (SOF is at a VARIABLE
-        # offset behind APP0/COM segments; byte/offset math mirrors
-        # analytics.parse_media_dims exactly, 1-indexed where the engine
-        # is 0-indexed)
+        # multimodal: the twin re-decodes PNG/GIF/JPEG/WebP/WAV header
+        # fields from hex(html) — fixed-offset reads for PNG IHDR / GIF
+        # LSD / the three WebP bitstream variants (VP8X 24-bit canvas,
+        # VP8L 14+14-bit LE bitfield, VP8 sync+14-bit dims) / the WAV
+        # fmt chunk, and a recursive-CTE marker walk for JPEG (SOF is at
+        # a VARIABLE offset behind APP0/COM segments; byte/offset math
+        # mirrors analytics.parse_media_dims exactly, 1-indexed where
+        # the engine is 0-indexed)
         "multimodal_meta": f"""
           WITH RECURSIVE
           hx AS (SELECT url, octet_length(html)::bigint AS n_bytes, hex(html) AS h
@@ -1694,8 +1760,39 @@ def oracle_sql() -> dict[str, str]:
                   FROM jw
                   WHERE pos + 8 <= n_bytes AND {_mbyte('pos')} = 255
                     AND {_mbyte('pos + 1')} IN (192, 193, 194)),
+          riff AS (SELECT * FROM hx WHERE substr(h, 1, 8) = '52494646'),
+          vp8x AS (SELECT url, 'webp' AS kind,
+                          (1 + {_mbyte(25)} + 256 * {_mbyte(26)} + 65536 * {_mbyte(27)})::int AS width,
+                          (1 + {_mbyte(28)} + 256 * {_mbyte(29)} + 65536 * {_mbyte(30)})::int AS height
+                   FROM riff
+                   WHERE n_bytes >= 30 AND substr(h, 17, 8) = '57454250'
+                     AND substr(h, 25, 8) = '56503858'),
+          vp8l AS (SELECT url, 'webp' AS kind,
+                          (1 + ((({_mbyte(22)} + 256 * {_mbyte(23)} + 65536 * {_mbyte(24)}
+                                  + 16777216 * {_mbyte(25)}) & 16383)))::int AS width,
+                          (1 + (((({_mbyte(22)} + 256 * {_mbyte(23)} + 65536 * {_mbyte(24)}
+                                   + 16777216 * {_mbyte(25)}) >> 14) & 16383)))::int AS height
+                   FROM riff
+                   WHERE n_bytes >= 25 AND substr(h, 17, 8) = '57454250'
+                     AND substr(h, 25, 8) = '5650384C' AND {_mbyte(21)} = 47),
+          vp8 AS (SELECT url, 'webp' AS kind,
+                         ((({_mbyte(27)} + 256 * {_mbyte(28)}) & 16383))::int AS width,
+                         ((({_mbyte(29)} + 256 * {_mbyte(30)}) & 16383))::int AS height
+                  FROM riff
+                  WHERE n_bytes >= 30 AND substr(h, 17, 8) = '57454250'
+                    AND substr(h, 25, 8) = '56503820'
+                    AND {_mbyte(24)} = 157 AND {_mbyte(25)} = 1 AND {_mbyte(26)} = 42),
+          wav AS (SELECT url, 'wav' AS kind,
+                         ({_mbyte(25)} + 256 * {_mbyte(26)} + 65536 * {_mbyte(27)}
+                          + 16777216 * {_mbyte(28)})::int AS width,
+                         ({_mbyte(23)} + 256 * {_mbyte(24)})::int AS height
+                  FROM riff
+                  WHERE n_bytes >= 28 AND substr(h, 17, 8) = '57415645'
+                    AND substr(h, 25, 8) = '666D7420'),
           d AS (SELECT * FROM png UNION ALL SELECT * FROM gif
-                UNION ALL SELECT * FROM jpg)
+                UNION ALL SELECT * FROM jpg
+                UNION ALL SELECT * FROM vp8x UNION ALL SELECT * FROM vp8l
+                UNION ALL SELECT * FROM vp8 UNION ALL SELECT * FROM wav)
           SELECT hx.url, hx.n_bytes,
                  lower(substr(h, 1, 8)) AS head,
                  substr(h, 1, 10) = '3C68746D6C' AS is_html,

@@ -294,24 +294,60 @@ def _jpeg_blob(rng: np.random.Generator, w: int, h: int) -> bytes:
     return out + scan + b"\xff\xd9"
 
 
+def _webp_blob(rng: np.random.Generator, w: int, h: int, variant: int) -> bytes:
+    """Real RIFF/WEBP container with one of the three bitstream headers:
+    variant 0 = VP8 lossy (frame tag + 0x9D012A sync + 14-bit LE dims),
+    1 = VP8L lossless (0x2F signature + 14+14-bit LE dim bitfield),
+    2 = VP8X extended (24-bit LE canvas−1 fields)."""
+    import struct
+
+    tail = rng.integers(0, 256, size=int(rng.integers(8, 64)), dtype=np.uint8).tobytes()
+    if variant == 0:
+        payload = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h) + tail
+        chunk_id = b"VP8 "
+    elif variant == 1:
+        bits = (w - 1) | ((h - 1) << 14)
+        payload = b"\x2f" + struct.pack("<I", bits) + tail
+        chunk_id = b"VP8L"
+    else:
+        payload = (b"\x00\x00\x00\x00"
+                   + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3] + tail)
+        chunk_id = b"VP8X"
+    chunk = chunk_id + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _wav_blob(rng: np.random.Generator, rate: int, channels: int) -> bytes:
+    """Real RIFF/WAVE header: canonical 16-byte PCM fmt chunk first."""
+    import struct
+
+    data = rng.integers(0, 256, size=int(rng.integers(16, 96)), dtype=np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def generate_media_fixtures(sf: float, out_dir: str | Path | None = None,
                             force: bool = False) -> Path:
     """Write ``media.parquet`` (url:string, html:binary) next to the crawl
-    fixtures: a deterministic mix of real-header PNG / GIF / JPEG blobs,
-    html-text rows, and signatureless junk rows (seed 43, independent of
-    the crawl fixtures' seed 42 — adding media never perturbs the
-    engine-vs-oracle crawl invariants).  Idempotent per (sf, path)."""
+    fixtures: a deterministic mix of real-header PNG / GIF / JPEG / WebP
+    (all three bitstream variants, rotating) / WAV blobs, html-text rows,
+    and signatureless junk rows (seed 43, independent of the crawl
+    fixtures' seed 42 — adding media never perturbs the engine-vs-oracle
+    crawl invariants).  Idempotent per (sf, path)."""
     out = Path(out_dir) if out_dir is not None else fixture_dir_for_sf(sf)
     out.mkdir(parents=True, exist_ok=True)
     path = out / "media.parquet"
     if path.exists() and not force:
         return path
     rng = np.random.default_rng(np.random.PCG64(43))
-    n = max(40, int(4000 * sf))
+    n = max(70, int(4000 * sf))
     urls, blobs = [], []
     for i in range(n):
         urls.append(f"https://media{i % 97:03d}.example.org/asset/{i:06d}")
-        kind = i % 5
+        kind = i % 7
         w = int(rng.integers(1, 4000))
         h = int(rng.integers(1, 3000))
         if kind == 0:
@@ -321,6 +357,11 @@ def generate_media_fixtures(sf: float, out_dir: str | Path | None = None,
         elif kind == 2:
             blobs.append(_jpeg_blob(rng, w, h))
         elif kind == 3:
+            blobs.append(_webp_blob(rng, w, h, (i // 7) % 3))
+        elif kind == 4:
+            rate = int(rng.integers(8, 97)) * 500  # 4k–48k Hz
+            blobs.append(_wav_blob(rng, rate, int(rng.integers(1, 9))))
+        elif kind == 5:
             blobs.append(f"<html><body>asset {i} landing page</body></html>".encode())
         else:  # junk: no known signature, first byte NUL so nothing matches
             junk = rng.integers(0, 256, size=int(rng.integers(8, 96)), dtype=np.uint8)
