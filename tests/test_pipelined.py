@@ -66,6 +66,65 @@ def test_pipelined_bucketed_state_combo(spark, fixture_dir):
     shutil.rmtree(tb)
 
 
+def _plan_leaves(df):
+    """Leaf count of the ANALYZED logical plan — a pure integer, immune
+    to spark.sql.maxPlanStringLength truncation (which would make string
+    lengths look flat even while the tree exploded)."""
+    return df._jdf.queryExecution().analyzed().collectLeaves().size()
+
+
+def test_pipelined_plan_size_flat(spark, fixture_dir):
+    """Cross-generation plan-growth regression gate (VERDICT r3 item 6).
+
+    The 687 MB incident: an unbarriered seen_delta chained
+    new_rows(k) -> seen_delta(k-1) -> new_rows(k-1) -> ... so batch k's
+    analyzed sink plans grew multiplicatively in k (hit at batch ~10 of
+    a pipelined soak, fixed in aa29148).  This pins the fix at the plan
+    level: across a >=6-batch pipelined run (crossing two compaction
+    boundaries), every cross-generation frame handed to batch k+1 must
+    be a single-leaf LogicalRDD (the localCheckpoint barrier), and the
+    per-batch frames that embed the seen view may grow only LINEARLY
+    (one committed append leaf per batch) — never faster.  Removing any
+    `_bar` in the live branch of _plan_batch fails the ==1 assertions;
+    chaining generations fails the constant-first-difference one.
+    """
+    from crawlfront.frontier import CrawlEngine as _Eng
+
+    sizes = []
+
+    class Probe(_Eng):
+        def _plan_batch(self, man, live=None):
+            p = super()._plan_batch(man, live)
+            rec = {
+                "ex": _plan_leaves(p.ex),
+                "sched": _plan_leaves(p.scheduled),
+                "persisted": sum(_plan_leaves(df) for df in p.persisted),
+            }
+            if live is not None:
+                # the frame whose missing barrier caused the incident
+                rec["prev_delta"] = _plan_leaves(live.seen_delta())
+            sizes.append(rec)
+            return p
+
+    tmp = tempfile.mkdtemp(prefix="cf_pipe_plansize_")
+    eng = Probe(spark, fixture_dir, tmp,
+                EngineConfig(pipelined_drain=True, compact_every=3))
+    eng.run(6)
+
+    assert len(sizes) == 6
+    for rec in sizes:
+        assert rec["ex"] == 1, sizes
+        assert rec["sched"] == 1, sizes
+    for rec in sizes[1:]:
+        assert rec["prev_delta"] == 1, sizes
+    # seen-view embedders grow by exactly one committed-append leaf per
+    # batch per embedding frame: constant first difference, zero second
+    # difference.  Multiplicative chaining breaks this immediately.
+    diffs = [b["persisted"] - a["persisted"] for a, b in zip(sizes, sizes[1:])]
+    assert all(d == diffs[0] for d in diffs), (sizes, diffs)
+    shutil.rmtree(tmp)
+
+
 def test_pipelined_resume_interop(spark, fixture_dir):
     """A checkpoint written by the pipelined loop is a normal checkpoint:
     the sequential engine resumes from it (and vice versa) and lands on
