@@ -167,8 +167,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, n_hashes: int = 32,
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
     )
-    # exact verification on candidates only (J4-style confirm leg)
-    docs = _read(spark, sf_dir, "documents").select(
+    # exact verification on candidates only (J4-style confirm leg).
+    # parallel=True: the shingle explode is heavy per-row work straight
+    # off a single-row-group scan — without the repartition it ran on 2
+    # cores while 30 idled (measured 2.4-2.7 -> 1.6 s at sf0.1,
+    # value-identical; the barrier variants measured in the same A/B
+    # all LOST — ReusedExchange already merges the band self-join legs,
+    # unlike simhash where the guard leg's exchange shape differs)
+    docs = _read(spark, sf_dir, "documents", parallel=True).select(
         "doc_id",
         F.array_distinct(_shingles(F.split("text", " "))).alias("sh"),
     )
