@@ -14,7 +14,11 @@ N = 3
 
 def _run(spark, fixture_dir, tmp_path, name, cfg):
     eng = CrawlEngine(spark, fixture_dir, tmp_path / name, cfg)
-    stats = eng.run(N)
+    # compare semantic counters only: commit_bytes is a PHYSICAL
+    # measurement (parquet file sizes), and the barrier mode legitimately
+    # changes write-side partitioning/encoding without changing any row
+    stats = [{k: v for k, v in a.items() if k != "commit_bytes"}
+             for a in eng.run(N)]
     res = sorted(map(tuple, eng.results().collect()))
     frontier = sorted(map(tuple, eng.frontier().collect()))
     return stats, res, frontier
