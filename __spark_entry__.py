@@ -910,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": analytics.quality_score,
         "token_count": analytics.token_count,
         "doc_fingerprint": analytics.doc_fingerprint,
+        "decontaminate": analytics.decontaminate,
         # media fixture (real PNG/GIF/JPEG headers, seed 43) — decoded
         # dimensions are re-derived independently by the DuckDB twin's
         # hex()-walk, so decode correctness is value-hash-checked
@@ -1524,6 +1525,27 @@ def oracle_sql() -> dict[str, str]:
           WHERE round(co.n_common / (sa.n_sh + sb.n_sh - co.n_common)::double, 4) >= 0.5""",
         "dedup_minhash_lsh": minhash_pairs_sql + """
           SELECT a, b, jaccard FROM ver WHERE jaccard >= 0.5""",
+        # benchmark decontamination: 8-gram overlap against the
+        # deterministic pseudo-eval set (first 30 tokens of every
+        # doc_id % 97 == 0 doc) — mirrors analytics.decontaminate incl.
+        # the <n-token whole-doc fallback shingle
+        "decontaminate": f"""
+          WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          bp AS (SELECT toks[1:30] AS toks FROM t WHERE doc_id % 97 = 0),
+          bsh0 AS (SELECT unnest(CASE WHEN len(toks) >= 8
+                     THEN list_transform(range(len(toks) - 7),
+                                         j -> array_to_string(toks[j + 1 : j + 8], ' '))
+                     ELSE [array_to_string(toks, ' ')] END) AS s
+                   FROM bp),
+          bsh AS (SELECT DISTINCT {_phash_sql('s')} AS bh FROM bsh0),
+          dsh0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+                     THEN list_transform(range(len(toks) - 7),
+                                         j -> array_to_string(toks[j + 1 : j + 8], ' '))
+                     ELSE [array_to_string(toks, ' ')] END) AS s
+                   FROM t),
+          dsh AS (SELECT DISTINCT doc_id, {_phash_sql('s')} AS sh FROM dsh0)
+          SELECT dsh.doc_id::bigint AS doc_id, count(*)::bigint AS n_hits
+          FROM dsh JOIN bsh ON dsh.sh = bsh.bh GROUP BY dsh.doc_id""",
         "dedup_clusters": clusters_sql,
         # the converge-until-stable loop: at sf0.01 every cluster
         # diameter is within the 3-round unroll (measured: converges in

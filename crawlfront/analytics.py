@@ -782,6 +782,52 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str, k: int = 5, w: int = 8
     ).distinct()
 
 
+def decontaminate(spark: SparkSession, sf_dir: str, n: int = 8,
+                  bench_mod: int = 97, bench_prefix: int = 30) -> DataFrame:
+    """Benchmark decontamination — the pre-training step that flags
+    corpus documents sharing any ``n``-gram with an evaluation set, so
+    eval text leaking into training data is dropped before it inflates
+    benchmark scores.
+
+    The "benchmark" here is derived deterministically from the corpus
+    itself (no external data in-sandbox): the first ``bench_prefix``
+    tokens of every doc with ``doc_id % bench_mod == 0`` stand in for
+    eval prompts.  Scale shape: the benchmark side is tiny by
+    construction → its distinct shingle hashes BROADCAST; the corpus
+    side explodes to (doc_id, int64 hash) pairs that meet the benchmark
+    in a broadcast hash join BEFORE any exchange — the only wide
+    shuffle is the per-doc distinct-count over the *matched* rows
+    (contamination is rare, so that shuffle is ~0 rows at corpus
+    scale; shingle text never shuffles at all).  ``portable_hash64``
+    keeps the DuckDB twin value-exact.
+
+    Output: one row per contaminated doc — ``doc_id``, ``n_hits``
+    (distinct benchmark shingles it contains).  Benchmark-source docs
+    self-hit by design (their text IS eval text found in the corpus).
+    """
+    docs = _read(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    bench = (
+        docs.filter(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode(
+            _shingles(F.slice(F.col("toks"), 1, bench_prefix), n)
+        ).alias("s"))
+        .select(portable_hash64("s").alias("bh"))
+        .distinct()
+    )
+    doc_sh = docs.select(
+        "doc_id", F.explode(_shingles(F.col("toks"), n)).alias("s")
+    ).select("doc_id", portable_hash64("s").alias("sh"))
+    return (
+        doc_sh.join(F.broadcast(bench), doc_sh["sh"] == bench["bh"], "inner")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_hits"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("n_hits").cast("long").alias("n_hits"))
+    )
+
+
 def bm25_topk(spark: SparkSession, sf_dir: str,
               terms: tuple = ("hash", "join", "stream"), k: int = 20) -> DataFrame:
     """BM25 relevance top-k for a literal query — the retrieval/quality

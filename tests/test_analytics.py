@@ -347,6 +347,40 @@ def test_paragraph_dedup_semantics(spark, tmp_path):
     assert all(0.0 <= r["dup_ratio"] <= 1.0 for r in corpus)
 
 
+def test_decontaminate_semantics(spark, tmp_path):
+    """8-gram benchmark decontamination: bench-source docs self-hit with
+    exactly their prefix shingle count, a doc embedding a verbatim run
+    of bench text hits exactly the windows inside the run, clean docs
+    are absent."""
+    t = [f"t{i}" for i in range(40)]   # doc 0 — bench source (0 % 97 == 0)
+    w = [f"w{i}" for i in range(10)]   # doc 97 — bench source, short
+    doc2 = [f"u{i}" for i in range(5)] + t[5:16] + [f"v{i}" for i in range(5)]
+    texts = [
+        (0, " ".join(t)),
+        (1, " ".join(f"x{i}" for i in range(20))),   # clean
+        (2, " ".join(doc2)),                          # copies t5..t15
+        (97, " ".join(w)),
+    ]
+    df = spark.createDataFrame(
+        [(i, s, "en", "t", len(s)) for i, s in texts],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "dc")
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    rows = {r["doc_id"]: r["n_hits"]
+            for r in analytics.decontaminate(spark, d).collect()}
+    # doc 0: bench prefix = t0..t29 → 23 shingles, all inside the doc
+    # doc 2: the 11-token copied run holds 4 full 8-gram windows
+    # doc 97: 10 tokens → 3 shingles, all bench
+    assert rows == {0: 23, 2: 4, 97: 3}
+
+    # corpus-level invariant at sf0.01: every bench-source doc self-hits
+    res = {r["doc_id"]: r["n_hits"] for r in analytics.decontaminate(spark, SF).collect()}
+    bench_ids = [r["doc_id"] for r in spark.read.parquet(f"{SF}/documents.parquet")
+                 .filter("doc_id % 97 = 0").select("doc_id").collect()]
+    assert bench_ids and all(res.get(i, 0) >= 1 for i in bench_ids)
+
+
 def test_pii_scrub_counts(spark):
     """URL spans are dense in the fixture html (every href); emails and
     phones are absent; the scrub hash must differ from the raw hash
