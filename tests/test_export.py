@@ -84,6 +84,27 @@ def test_export_round_trip_and_order(engine_run, spark):
     assert n_parsed == want.count()
 
 
+def test_export_with_text_multiline_round_trip(engine_run, spark):
+    """include_text=True: extracted text embeds real newlines
+    (extract.py joins text nodes with '\\n'), so rows span physical
+    lines — the quoted-CSV round-trip must still be lossless."""
+    from pyspark.sql import functions as F
+
+    from crawlfront.export import EXPORT_COLS
+
+    eng, _ = engine_run
+    results = eng.results()
+    assert results.filter(F.col("text").contains("\n")).count() > 0
+
+    d = tempfile.mkdtemp(prefix="cf_export_text_")
+    export_results(results, d, fmt="csv", rows_per_file=9, include_text=True)
+    back = read_export(spark, d, fmt="csv", include_text=True)
+    want = results.select(*EXPORT_COLS, "text")
+    assert back.count() == want.count()
+    assert want.exceptAll(back).count() == 0
+    assert back.exceptAll(want).count() == 0
+
+
 def test_export_rejects_bad_args(engine_run):
     eng, _ = engine_run
     with pytest.raises(ValueError):
