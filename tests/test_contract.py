@@ -40,6 +40,8 @@ SUBSET = [
     "pii_scrub",
     "g2_anchor_stats",
     "multimodal_meta",  # now a REAL decode (hex-walk twin) — pin it here
+    # round-4 addition
+    "decontaminate",
 ]
 
 
