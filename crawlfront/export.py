@@ -43,7 +43,11 @@ EXPORT_COLS = ["schedule_idx", "batch_id", "url", "rank",
 
 #: RFC-4180-style CSV: quotes escaped by doubling, every field quoted so
 #: embedded newlines/commas in extracted titles/abstracts round-trip.
-_CSV_OPTS = {"quoteAll": "true", "escape": '"', "header": "false"}
+#: nullValue makes NULL distinguishable from the empty string (title/
+#: abstract/link are nullable) — without it both write as "" and a null
+#: silently becomes '' on read-back.
+_CSV_OPTS = {"quoteAll": "true", "escape": '"', "header": "false",
+             "nullValue": "\\N"}
 
 
 def export_results(results: DataFrame, out_dir: str | Path, fmt: str = "csv",
@@ -111,7 +115,7 @@ def read_export(spark, out_dir: str | Path, fmt: str = "csv",
     reader = spark.read.schema(schema)
     if fmt == "csv":
         reader = (reader.option("multiLine", "true").option("escape", '"')
-                  .option("header", "false"))
+                  .option("header", "false").option("nullValue", "\\N"))
         df = reader.csv(str(out_dir) + "/file_id=*/")
     else:
         df = reader.json(str(out_dir) + "/file_id=*/")

@@ -105,6 +105,29 @@ def test_export_with_text_multiline_round_trip(engine_run, spark):
     assert back.exceptAll(want).count() == 0
 
 
+def test_export_null_vs_empty_distinguished(spark):
+    """Nullable record fields: a NULL title and an EMPTY title must
+    round-trip as themselves (the writer's nullValue sentinel keeps
+    them distinct in quoted CSV)."""
+    rows = [
+        (0, 1, "http://a/", 1, None, "abs\nwith newline", "http://t/",
+         "text"),
+        (1, 1, "http://b/", 1, "", None, None, "t2"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "schedule_idx long, batch_id long, url string, rank int, "
+        "title string, abstract string, link string, text string",
+    )
+    d = tempfile.mkdtemp(prefix="cf_export_null_")
+    export_results(df, d, fmt="csv", rows_per_file=10)
+    back = {r["schedule_idx"]: r for r in read_export(spark, d).collect()}
+    assert back[0]["title"] is None
+    assert back[0]["abstract"] == "abs\nwith newline"
+    assert back[1]["title"] == ""
+    assert back[1]["abstract"] is None and back[1]["link"] is None
+
+
 def test_export_rejects_bad_args(engine_run):
     eng, _ = engine_run
     with pytest.raises(ValueError):
