@@ -29,10 +29,13 @@ def run(label: str, cmd: list[str], log) -> int:
     dt = time.monotonic() - t0
     log.write(f"\n=== {label} (rc={proc.returncode}, {dt:.1f}s) ===\n")
     log.write(f"$ {' '.join(cmd)}\n")
-    # full stdout for the contract sweep (one line per key); pytest's
-    # dot-wall is huge — keep its last 60 lines (failures + summary)
-    out = proc.stdout + proc.stderr
-    lines = out.splitlines()
+    # full stdout for the contract sweep (one line per key).  Spark's
+    # progress bars are \r-overwritten spam that displaces the real
+    # lines after truncation — normalize \r to \n and drop them, so the
+    # committed log shows every per-key OK/FAIL verbatim.
+    out = (proc.stdout + proc.stderr).replace("\r", "\n")
+    lines = [l for l in out.splitlines()
+             if l.strip() and not l.lstrip().startswith("[Stage")]
     keep = lines if len(lines) <= 400 else lines[:20] + ["... (truncated) ..."] + lines[-380:]
     log.write("\n".join(keep) + "\n")
     print(f"=== {label}: rc={proc.returncode} in {dt:.1f}s", flush=True)
