@@ -904,7 +904,7 @@ def min_label_closure(labels: DataFrame, edges: DataFrame,
     - stop when the changed-count hits 0 — exact for ANY diameter,
       where the unrolled version is exact only to its depth;
     - each round is plan-barriered (``localCheckpoint``) so lineage
-      doesn't grow with the iteration count (CLAUDE.md: Catalyst expands
+      doesn't grow with the iteration count (SURVEY §8.2: Catalyst expands
       shared subtrees per DAG path — an unbarriered 50-round loop is a
       2^50 plan), and superseded checkpoints are unpersisted once their
       successor is materialized (eager) — a slow-converging run holds at
