@@ -5,9 +5,11 @@ set"), selected via ``EngineConfig.seen_filter = "cuckoo"``.
 Same two-tier contract as bloom.py: the filter is a PREFILTER whose
 positives are confirmed by the exact anti-join (J4) — so false positives
 only cost work, never correctness.  False NEGATIVES would be a
-correctness bug (a seen URL re-enqueued), therefore: no deletions are
-ever issued, and a failed insert (table overfull) raises loudly instead
-of silently dropping the fingerprint.
+correctness bug (a seen URL re-enqueued), therefore: deletions are
+issued ONLY by the engine's eviction flow (CrawlEngine.evict_seen),
+which deletes exactly the keys it removes from the exact seen set in
+the same committed maintenance batch, and a failed insert (table
+overfull) raises loudly instead of silently dropping the fingerprint.
 
 Vs. Bloom (why the engine offers both): a cuckoo filter at the same FPP
 uses comparable space but supports deletion (future frontier eviction),
@@ -128,6 +130,84 @@ def insert_keys(table: np.ndarray, h32: np.ndarray, h64: np.ndarray,
                 "would create false negatives"
             )
     return len(fps)
+
+
+def delete_keys(table: np.ndarray, h32: np.ndarray, h64: np.ndarray,
+                n_buckets: int) -> int:
+    """Remove ONE stored fingerprint per key (partial-key cuckoo delete;
+    the property Bloom filters lack — what makes frontier eviction /
+    recrawl-TTL possible without rebuilding the filter).
+
+    SOUNDNESS CONTRACT: only ever called with keys that were actually
+    inserted and not yet deleted — the engine's eviction flow guarantees
+    this by deleting exactly the keys it removes from the EXACT seen set.
+    Deleting an un-inserted key whose fingerprint collides in-bucket
+    would strip another key's fingerprint → a false NEGATIVE →
+    duplicate fetches.  When two inserted keys share (bucket, fp), one
+    copy each was stored, so removing one per delete keeps the survivor
+    probing positive (at worst a transient false positive — the
+    prefilter contract).  A key whose fp is absent from both candidate
+    buckets raises loudly: that is the contract being violated."""
+    order = np.lexsort((h64, h32))  # deterministic delete order
+    fps = _fingerprints(h64[order])
+    i1s = _bucket1(h64[order], n_buckets)
+    for fp, i1 in zip(fps, i1s):
+        i2 = int(_alt_bucket(np.uint64(i1), np.uint16(fp), n_buckets))
+        removed = False
+        for b in (int(i1), i2):
+            base = b * SLOTS
+            for s in range(SLOTS):
+                if table[base + s] == fp:
+                    table[base + s] = 0
+                    removed = True
+                    break
+            if removed:
+                break
+        if not removed:
+            raise RuntimeError(
+                "cuckoo delete of a key whose fingerprint is absent — "
+                "eviction must only delete keys present in the exact "
+                "seen set (a blind delete risks false negatives)"
+            )
+    return len(fps)
+
+
+def delete_from_shards(old_shards: DataFrame, del_keys: DataFrame,
+                       n_shards: int, batch_id: int) -> DataFrame:
+    """Shard-parallel delete (same cogroup shape as update_shards): each
+    touched shard's table loses the evicted fingerprints in one Arrow
+    batch; untouched shards pass through byte-identical."""
+    keys = del_keys.select(
+        shard_col(F.col("url_hash32"), n_shards).alias("shard"),
+        "url_hash32", "url_hash64",
+    )
+
+    def merge(key, old_pdf: pd.DataFrame, keys_pdf: pd.DataFrame) -> pd.DataFrame:
+        (shard,) = key
+        if not len(old_pdf):
+            raise RuntimeError(
+                f"cuckoo delete routed to missing shard {shard} — the "
+                "shard table must cover every shard"
+            )
+        row = old_pdf.iloc[0]
+        table = np.frombuffer(bytes(row["table"]), dtype=np.uint16).copy()
+        nb, n_items, ub = int(row["n_buckets"]), int(row["n_items"]), int(row["updated_batch"])
+        if len(keys_pdf):
+            n_items -= delete_keys(
+                table, keys_pdf["url_hash32"].to_numpy(),
+                keys_pdf["url_hash64"].to_numpy(), nb,
+            )
+            ub = batch_id
+        return pd.DataFrame(
+            [(int(shard), table.tobytes(), nb, n_items, ub)],
+            columns=["shard", "table", "n_buckets", "n_items", "updated_batch"],
+        )
+
+    return (
+        old_shards.groupBy("shard")
+        .cogroup(keys.groupBy("shard"))
+        .applyInPandas(merge, CUCKOO_SHARDS_SCHEMA)
+    )
 
 
 def contains(table: np.ndarray, h32: np.ndarray, h64: np.ndarray,

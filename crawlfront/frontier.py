@@ -1344,6 +1344,84 @@ class CrawlEngine:
         self._maybe_expire()
         return agg
 
+    def evict_seen(self, urls: DataFrame) -> dict:
+        """Maintenance op: evict URLs from the frontier AND the URL-seen
+        set, so a future re-discovery re-enqueues (and re-fetches) them
+        exactly once — the recrawl/TTL flow (VERDICT r4 item 7; e.g.
+        ``evict_seen(results.filter(batch_id <= T).select(url))`` expires
+        everything fetched before T).
+
+        One atomic maintenance batch, same data-first/pointer-last
+        protocol as a drain batch:
+
+        - frontier: new base snapshot WITHOUT the evicted rows;
+        - url_seen filter: "cuckoo" → shard-parallel fingerprint DELETE
+          (cuckoo.delete_from_shards — O(evicted) work, the deletable-
+          membership property the cuckoo backend exists for); "bloom" →
+          full REBUILD from the compacted key set (bloom bits can't be
+          unset — O(table) work, the documented cost of choosing bloom);
+        - exact seen_keys: compacted to one append dir (all committed
+          appends ∪, minus evicted) and ``seen_batches`` reset to just
+          it — the per-batch confirm path stays untouched (no tombstone
+          anti-join added to the hot loop; eviction pays O(history) once
+          instead of every future batch paying an extra join, the right
+          trade at 10^10 keys where maintenance is rare and batches are
+          not).
+
+        Soundness: deletes are issued ONLY for keys present in the exact
+        seen set (inner-join below), which is cuckoo.delete_keys'
+        no-false-negative contract.  Returns counts.  Not valid inside a
+        running pipelined window (no live planned batch may be in
+        flight)."""
+        man = self.ckpt.manifest()
+        assert man is not None, "call init() first"
+        b = man["batch_id"] + 1
+        ev = urls.select(F.col(urls.columns[0]).alias("url_norm")).distinct()
+        # exact-set join: what we will delete from the filter is EXACTLY
+        # what leaves the exact set (and frontier rows carry the h32 the
+        # shard routing needs)
+        fr = self.frontier()
+        ev_rows = (
+            fr.join(ev, "url_norm", "left_semi")
+            .select("url_norm", "url_hash32", "url_hash64")
+            .persist()
+        )
+        n_evicted = ev_rows.count()  # also materializes before any write
+        next_frontier = fr.join(ev, "url_norm", "left_anti").select(*FRONTIER_COLS)
+        pk = partition_key("host_hash", "salt", self.cfg.n_partitions)
+        if self.cfg.bucketed_state:
+            self._write_bucketed(next_frontier, "frontier", "snap", b)
+        else:
+            self._write_snapshot(next_frontier, "frontier", b, pk)
+        compacted = self.seen_keys().join(ev, "url_norm", "left_anti")
+        self._write_seen_append(compacted, b)
+        if self.cfg.seen_filter == "cuckoo":
+            from . import cuckoo
+
+            new_shards = cuckoo.delete_from_shards(
+                self.shards(), ev_rows.select("url_hash32", "url_hash64"),
+                self.cfg.n_shards, batch_id=b,
+            )
+        else:
+            # bloom rebuild: re-key the compacted exact set through the
+            # standard update path against empty shards
+            keys = self.spark.read.schema(SEEN_KEYS_SCHEMA).parquet(
+                self.ckpt.append_dir("seen_keys", b)
+            ).join(
+                fr.select("url_norm", "url_hash32"), "url_norm", "left"
+            ).select("url_hash32", "url_hash64")
+            new_shards = self._filter_update(self._filter_empty(), keys, batch_id=b)
+        self._write_snapshot(new_shards, "url_seen", b)
+        ev_rows.unpersist()
+        self.ckpt.commit(
+            b, {"frontier": b, "url_seen": b},
+            extra={"next_idx": man["next_idx"], "seen_batches": [b],
+                   "frontier_deltas": [], "url_seen_deltas": []},
+            append_batch=False,
+        )
+        self._maybe_expire()
+        return {"batch_id": b, "evicted": n_evicted}
+
     def _maybe_expire(self, min_keep: int = 1) -> None:
         """Post-commit checkpoint GC (EngineConfig.expire_keep_last).
 
@@ -1386,6 +1464,12 @@ class CrawlEngine:
         fut = None
         in_flight: _PlannedBatch | None = None
         man = self.ckpt.manifest()
+        # per-generation block-manager telemetry (VERDICT r4 item 5): the
+        # plan-size test pins LINEAGE growth; this records STORAGE-MEMORY
+        # growth — bytes of cached/localCheckpoint'd blocks after each
+        # flush — so a soak can assert the held-frame window stays
+        # bounded across compaction boundaries, not just the plans
+        self.storage_telemetry: list[dict] = []
         try:
             for _ in range(n_batches):
                 prev = held[-1] if held else None
@@ -1408,12 +1492,18 @@ class CrawlEngine:
                     # with ≥2 manifests retained: batch k+1 was planned
                     # against manifest k's paths and is still in flight
                     self._maybe_expire(min_keep=2)
+                    self.storage_telemetry.append(
+                        {"batch_id": aggs[-1]["batch_id"], "held": len(held),
+                         **self.storage_bytes()})
                 fut = flusher.submit(self._flush_batch, p, None, False)
                 in_flight = p
             if fut is not None:
                 aggs.append(fut.result())
                 self.last_timings = in_flight.timings
                 self._maybe_expire(min_keep=2)
+                self.storage_telemetry.append(
+                    {"batch_id": aggs[-1]["batch_id"], "held": len(held),
+                     **self.storage_bytes()})
         finally:
             flusher.shutdown(wait=True)
             while held:  # normal exit and failure paths both sweep here
@@ -1421,6 +1511,19 @@ class CrawlEngine:
                 q.pool.shutdown(wait=True)
                 self._release(q)
         return aggs
+
+    def storage_bytes(self) -> dict:
+        """Live block-manager footprint: bytes (memory + disk) and block
+        count of every RDD with cached/localCheckpoint'd partitions.
+        Driver-side metadata read — no job, O(#cached RDDs)."""
+        sc = self.spark.sparkContext
+        mem = disk = blocks = 0
+        for info in sc._jsc.sc().getRDDStorageInfo():
+            mem += info.memSize()
+            disk += info.diskSize()
+            blocks += info.numCachedPartitions()
+        return {"storage_mem_bytes": mem, "storage_disk_bytes": disk,
+                "cached_blocks": blocks}
 
     def run(self, n_batches: int) -> list[dict]:
         self.init()

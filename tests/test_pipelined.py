@@ -149,3 +149,35 @@ def test_pipelined_resume_interop(spark, fixture_dir):
         assert a[w] == b[w], w
     shutil.rmtree(ta)
     shutil.rmtree(tb)
+
+
+def test_pipelined_storage_bounded_across_generations(spark, fixture_dir):
+    """VERDICT r4 item 5: the plan-size test pins LINEAGE growth; this
+    pins BLOCK-MANAGER growth.  Across a 10-batch pipelined run crossing
+    three compaction boundaries (compact_every=3), the cached/
+    localCheckpoint footprint after each flush must track the bounded
+    held-frame window (≤ 2 generations + in-flight), NOT the generation
+    count, and the final release sweep must return the block manager to
+    its pre-run state."""
+    t = tempfile.mkdtemp(prefix="cf_pipe_soak_")
+    eng = CrawlEngine(spark, fixture_dir, t,
+                      EngineConfig(pipelined_drain=True, compact_every=3))
+    base = eng.storage_bytes()  # session is shared — measure deltas
+    eng.run_pipelined(10)
+    tel = eng.storage_telemetry
+    assert len(tel) == 10
+    # release discipline: the held window never exceeds 2 generations
+    # plus the one being planned
+    assert all(e["held"] <= 3 for e in tel)
+    # storage tracks the window: late generations must not dwarf the
+    # steady-state early ones (batch sizes plateau at this sf, so any
+    # cross-generation leak shows as monotonic growth here)
+    mems = [e["storage_mem_bytes"] + e["storage_disk_bytes"] for e in tel]
+    steady = max(mems[2:5])
+    assert steady > 0
+    assert max(mems[5:]) <= 3 * steady, mems
+    # after the final sweep: nothing this run pinned is still cached
+    end = eng.storage_bytes()
+    assert end["cached_blocks"] <= base["cached_blocks"]
+    assert end["storage_mem_bytes"] <= base["storage_mem_bytes"]
+    shutil.rmtree(t)
