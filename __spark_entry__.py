@@ -835,6 +835,40 @@ def _q_array_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/export — the reference-parity CSV sink, driver-value-hashed
+    (VERDICT r4 item 4): build a deterministic results-shaped frame from
+    ``documents`` with the CSV torture cases baked in (embedded quote/
+    comma/newline, backslashes, the literal NULL-sentinel string '\\N',
+    real NULLs), push it through export_results → deterministic CSV
+    shards → read_export, and return the read-back rows.  The DuckDB
+    twin computes the same frame DIRECTLY (no files), so a value-hash
+    match proves the on-disk round-trip is lossless — including the
+    backslash-doubling that keeps real '\\N' data distinct from NULL."""
+    import tempfile
+
+    from crawlfront.export import export_results, read_export
+
+    docs = _t(spark, sf_dir, "documents")
+    res = docs.select(
+        F.col("doc_id").alias("schedule_idx"),
+        (F.col("doc_id") % 3 + 1).cast("long").alias("batch_id"),
+        F.concat(F.lit("http://ex.org/d/"), F.col("doc_id")).alias("url"),
+        (F.col("doc_id") % 10).cast("int").alias("rank"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("\\N"))
+        .when(F.col("doc_id") % 11 == 1, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.substring("text", 1, 20),
+                            F.lit('"x,\n'), F.lit("\\y")))
+        .alias("title"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.substring("text", 5, 30)).alias("abstract"),
+        F.concat(F.lit("http://t/"), F.col("lang")).alias("link"),
+    )
+    out = tempfile.mkdtemp(prefix="cf_export_rt_q_")
+    export_results(res, out, fmt="csv", rows_per_file=100)
+    return read_export(spark, out)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -906,6 +940,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": analytics.winnow_fingerprints,
         "ann_cosine_topk": analytics.ann_cosine_topk,
         "ann_ivf_topk": analytics.ann_ivf_topk,
+        # int8 scalar-quantized scoring kernel (the IVF coarse tier at
+        # corpus scale) — integer dot is exact, so it value-hashes
+        "ann_quant_topk": analytics.ann_quant_topk,
         "lang_id": analytics.lang_id,
         "quality_score": analytics.quality_score,
         "token_count": analytics.token_count,
@@ -926,6 +963,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": lambda spark, sf_dir: analytics.pii_scrub(
             spark, scan_pages(spark, _fx(sf_dir))
         ),
+        # reference-parity deliverable files (crawlfront/export.py): the
+        # twin computes the same rows without touching disk, so the hash
+        # match IS the lossless-round-trip proof
+        "export_roundtrip": _q_export_roundtrip,
     }
 
 
@@ -1502,6 +1543,24 @@ def oracle_sql() -> dict[str, str]:
           WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
           GROUP BY c_mktsegment""",
         "x8_array_norm": "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> x::double * x::double))), 4) AS l2_norm FROM embeddings",
+        # export round-trip: the SAME deterministic results-shaped frame
+        # the Spark side pushes through CSV-write→read, computed directly
+        # (DuckDB string literals are escape-free, so '\N' below is a
+        # literal backslash-N — the very string the sentinel scheme must
+        # keep distinct from NULL)
+        "export_roundtrip": """
+          SELECT doc_id AS schedule_idx,
+                 (doc_id % 3 + 1)::bigint AS batch_id,
+                 'http://ex.org/d/' || doc_id AS url,
+                 (doc_id % 10)::int AS rank,
+                 CASE WHEN doc_id % 11 = 0 THEN '\\N'
+                      WHEN doc_id % 11 = 1 THEN NULL
+                      ELSE substr(text, 1, 20) || '"x,' || chr(10) || '\\y'
+                 END AS title,
+                 CASE WHEN doc_id % 7 = 0 THEN NULL
+                      ELSE substr(text, 5, 30) END AS abstract,
+                 'http://t/' || lang AS link
+          FROM documents""",
         # training-data pipeline
         "dedup_exact": "SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_doc_id FROM documents GROUP BY 1",
         "dedup_ngram_jaccard": """
@@ -1629,6 +1688,31 @@ def oracle_sql() -> dict[str, str]:
             FROM e2 e CROSS JOIN q WHERE e.vec_id != q.query_id),
           ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)::int AS rk FROM scored)
           SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5""",
+        # int8 scalar quantization: per-vector scale 127/max|x| (scales
+        # CANCEL out of the quantized cosine, so scoring is an exact
+        # integer dot — list_dot_product over integer-valued lists is
+        # exact in double far below 2^53); zero vectors (qn2=0) are
+        # excluded on both sides
+        "ann_quant_topk": """
+          WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+                      FROM embeddings),
+          qz AS (SELECT vec_id,
+                        CASE WHEN amax > 0
+                             THEN list_transform(emb, x -> round(x * (127.0 / amax))::bigint)
+                             ELSE list_transform(emb, x -> 0::bigint) END AS qv
+                 FROM e0),
+          qn AS (SELECT vec_id, qv, list_dot_product(qv, qv)::bigint AS qn2
+                 FROM qz WHERE list_dot_product(qv, qv) > 0),
+          q AS (SELECT vec_id AS query_id, qv AS qq, qn2 AS qn2q
+                FROM qn ORDER BY vec_id LIMIT 10),
+          scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(list_dot_product(q.qq, e.qv) /
+                         sqrt((q.qn2q * e.qn2)::double), 6) AS qcos
+            FROM qn e CROSS JOIN q WHERE e.vec_id != q.query_id),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC)::int AS rk FROM scored)
+          SELECT query_id, neighbor_id, qcos, rk FROM ranked WHERE rk <= 5""",
         "lang_id": """
           SELECT doc_id,
                  round((length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')))

@@ -46,8 +46,41 @@ EXPORT_COLS = ["schedule_idx", "batch_id", "url", "rank",
 #: nullValue makes NULL distinguishable from the empty string (title/
 #: abstract/link are nullable) — without it both write as "" and a null
 #: silently becomes '' on read-back.
+#:
+#: Sentinel collision (ADVICE r4): with quoteAll a GENUINE field value
+#: "\\N" would be written identically to the NULL sentinel and read back
+#: as NULL.  Closed by escaping, not by picking a rarer sentinel (any
+#: literal sentinel has the same hole): the writer doubles every literal
+#: backslash in string fields (\ → \\) and the reader halves them back,
+#: so no non-null field can ever equal the sentinel byte-for-byte —
+#: mysqldump's classic \N scheme.  JSONL needs none of this (native
+#: null + mandated string escaping).
+#: ignore*WhiteSpace: Spark's CSV WRITER defaults both to true and
+#: silently trims leading/trailing whitespace out of every field —
+#: caught by the export_roundtrip contract key (a scraped abstract with
+#: an edge space came back shortened).  The reader's defaults are
+#: already false.
 _CSV_OPTS = {"quoteAll": "true", "escape": '"', "header": "false",
-             "nullValue": "\\N"}
+             "nullValue": "\\N",
+             "ignoreLeadingWhiteSpace": "false",
+             "ignoreTrailingWhiteSpace": "false"}
+_STRING_COLS = ("url", "title", "abstract", "link", "text")
+
+
+def _escape_csv(df: DataFrame, cols: list[str]) -> DataFrame:
+    return df.select(*[
+        F.replace(F.col(c), F.lit("\\"), F.lit("\\\\")).alias(c)
+        if c in _STRING_COLS else c
+        for c in cols
+    ])
+
+
+def _unescape_csv(df: DataFrame) -> DataFrame:
+    return df.select(*[
+        F.replace(F.col(c), F.lit("\\\\"), F.lit("\\")).alias(c)
+        if c in _STRING_COLS else c
+        for c in df.columns
+    ])
 
 
 def export_results(results: DataFrame, out_dir: str | Path, fmt: str = "csv",
@@ -67,10 +100,14 @@ def export_results(results: DataFrame, out_dir: str | Path, fmt: str = "csv",
     if fmt not in ("csv", "jsonl"):
         raise ValueError(f"fmt must be csv|jsonl, got {fmt!r}")
     cols = EXPORT_COLS + (["text"] if include_text else [])
+    selected = results.select(*cols)
+    if fmt == "csv":
+        selected = _escape_csv(selected, cols)
     out = (
-        results.select(*cols)
-        .withColumn("file_id",
-                    F.floor(F.col("schedule_idx") / F.lit(rows_per_file)))
+        selected
+        # pure INTEGER division (ADVICE r4): float floor-div loses
+        # exactness for schedule_idx ≥ 2^53
+        .withColumn("file_id", F.expr(f"schedule_idx div {int(rows_per_file)}"))
         # hash-repartition on file_id: every file's rows meet in one task,
         # so each file_id directory holds exactly one sorted data file.
         .repartition(F.col("file_id"))
@@ -116,7 +153,5 @@ def read_export(spark, out_dir: str | Path, fmt: str = "csv",
     if fmt == "csv":
         reader = (reader.option("multiLine", "true").option("escape", '"')
                   .option("header", "false").option("nullValue", "\\N"))
-        df = reader.csv(str(out_dir) + "/file_id=*/")
-    else:
-        df = reader.json(str(out_dir) + "/file_id=*/")
-    return df
+        return _unescape_csv(reader.csv(str(out_dir) + "/file_id=*/"))
+    return reader.json(str(out_dir) + "/file_id=*/")

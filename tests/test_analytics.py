@@ -109,6 +109,44 @@ def test_ivf_prune_forced(spark):
     assert sorted(map(tuple, wide.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_ann_quant_recall(spark):
+    """Int8 scalar-quantized brute force (ann_quant_topk — the scoring
+    kernel of the IVF quant tier and its own contract key) vs the
+    float-exact baseline: quantizing 64 dims to int8 must keep recall@5
+    ≥ 0.9 (measured ~1.0: the ~1e-2 cosine resolution loss is far below
+    typical neighbor gaps even on unclustered embeddings)."""
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in analytics.ann_cosine_topk(spark, SF).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in analytics.ann_quant_topk(spark, SF).collect()
+    }
+    recall = len(brute & quant) / len(brute)
+    assert recall >= 0.9, recall
+
+
+def test_ivf_quant_forced(spark):
+    """The int8 coarse tier (quant_min_cand) is OFF at fixture scale;
+    forcing it on must (a) hold recall@5 ≥ 0.9 against the exact
+    baseline and (b) be a provable no-op when prune_keep exceeds the
+    candidate count — identical rows to the unpruned plan (the int8
+    coarse RANKING may only ever drop candidates, never perturb the
+    exact float rerank's scores)."""
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in analytics.ann_cosine_topk(spark, SF).collect()
+    }
+    forced = analytics.ann_ivf_topk(spark, SF, quant_min_cand=0).collect()
+    recall = len(brute & {(r["query_id"], r["neighbor_id"]) for r in forced}) / len(brute)
+    assert recall >= 0.9, recall
+
+    wide = analytics.ann_ivf_topk(spark, SF, quant_min_cand=0, prune_keep=10**6)
+    plain = analytics.ann_ivf_topk(spark, SF, prune_dims=None)
+    assert sorted(map(tuple, wide.collect())) == sorted(map(tuple, plain.collect()))
+
+
 def test_simhash_band_width_scales(spark):
     """Scale guard (VERDICT r1 item 6): 15-bit band keys — the candidate
     space per band is 32768 buckets, and fingerprints use all 60 bits."""

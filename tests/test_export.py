@@ -62,22 +62,18 @@ def test_export_round_trip_and_order(engine_run, spark):
     assert back.exceptAll(want).count() == 0
 
     # per-shard: (schedule_idx, rank)-sorted whole pages, idx in
-    # [k*7, (k+1)*7).  Parse only physical lines that ARE row starts
-    # (quoted int idx then quoted int batch_id) — a quoted abstract may
-    # span lines.
-    import re
+    # [k*7, (k+1)*7).  Parse with a real RFC-4180 reader (quotes doubled,
+    # quoted fields may span physical lines) — ADVICE r4: string-split
+    # parsing miscounts if a url/title ever contains '","'.
+    import csv
 
-    row_start = re.compile(r'^"(\d+)","\d+","')
     n_parsed = 0
     for f in data_files(d):
         k = int(Path(f).parent.name.split("=", 1)[1])
         keys = []
-        for line in Path(f).read_text().splitlines():
-            m = row_start.match(line)
-            if m:
-                idx = int(m.group(1))
-                rank = int(line.split('","')[3])
-                keys.append((idx, rank))
+        with open(f, newline="") as fh:
+            for row in csv.reader(fh, doublequote=True):
+                keys.append((int(row[0]), int(row[3])))
         assert keys == sorted(keys)
         assert all(k * 7 <= i < (k + 1) * 7 for i, _ in keys)
         n_parsed += len(keys)
@@ -126,6 +122,32 @@ def test_export_null_vs_empty_distinguished(spark):
     assert back[0]["abstract"] == "abs\nwith newline"
     assert back[1]["title"] == ""
     assert back[1]["abstract"] is None and back[1]["link"] is None
+
+
+def test_export_sentinel_and_backslash_collision(spark):
+    """ADVICE r4: a field whose VALUE is the literal string '\\N' (or any
+    backslash-bearing scrape) must survive the round-trip as itself, not
+    come back as NULL — the writer's backslash-doubling makes the NULL
+    sentinel unreachable by real data."""
+    rows = [
+        (0, 1, "http://a/", 1, "\\N", "literal-sentinel", None, "t"),
+        (1, 1, "http://b/", 1, "C:\\tmp\\x", "back\\slash", "\\\\N", "t"),
+        (2, 1, "http://c/", 1, None, "real null title", "\\", "t"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "schedule_idx long, batch_id long, url string, rank int, "
+        "title string, abstract string, link string, text string",
+    )
+    d = tempfile.mkdtemp(prefix="cf_export_sent_")
+    export_results(df, d, fmt="csv", rows_per_file=10)
+    back = {r["schedule_idx"]: r for r in read_export(spark, d).collect()}
+    assert back[0]["title"] == "\\N"          # NOT null
+    assert back[0]["link"] is None            # real null still null
+    assert back[1]["title"] == "C:\\tmp\\x"
+    assert back[1]["link"] == "\\\\N"
+    assert back[2]["title"] is None
+    assert back[2]["link"] == "\\"
 
 
 def test_export_rejects_bad_args(engine_run):
